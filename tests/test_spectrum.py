@@ -1,0 +1,120 @@
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pbrt_tpu.config import DEFAULT_SPECTRAL, UPSTREAM_SPECTRAL, SpectralConfig
+from pbrt_tpu.core import spectrum as spec
+
+
+def test_config_bins():
+    assert DEFAULT_SPECTRAL.n_bins == 32
+    assert DEFAULT_SPECTRAL.step == 10.0
+    # band centers on round multiples of 10: 400, 410, ..., 710
+    np.testing.assert_allclose(DEFAULT_SPECTRAL.bin_centers[0], 400.0)
+    np.testing.assert_allclose(DEFAULT_SPECTRAL.bin_centers[-1], 710.0)
+    assert UPSTREAM_SPECTRAL.n_bins == 30
+
+
+def test_tables_shapes():
+    t = spec.tables(DEFAULT_SPECTRAL)
+    assert t.X.shape == (32,)
+    assert t.refl_basis.shape == (7, 32)
+    assert float(t.yint) > 0
+
+
+def test_cie_y_peak():
+    # CIE ybar peaks near 555nm at ~1.0
+    lam = np.linspace(400, 700, 301)
+    y = spec.cie_y(lam)
+    assert abs(lam[np.argmax(y)] - 555) < 10
+    assert abs(y.max() - 1.0) < 0.05
+
+
+def test_rgb_roundtrip():
+    rgbs = jnp.asarray(
+        [
+            [1.0, 1.0, 1.0],
+            [0.5, 0.2, 0.8],
+            [0.0, 0.0, 0.0],
+            [0.9, 0.1, 0.1],
+            [0.1, 0.9, 0.1],
+            [0.1, 0.1, 0.9],
+            [0.2, 0.7, 0.4],
+        ]
+    )
+    s = spec.from_rgb(rgbs)
+    assert s.shape == (7, 32)
+    back = spec.to_rgb(s)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(rgbs), atol=0.02)
+
+
+def test_from_rgb_nonnegative():
+    rgbs = jnp.asarray(np.random.default_rng(0).uniform(0, 1, (50, 3)))
+    s = spec.from_rgb(rgbs)
+    assert float(jnp.min(s)) >= 0.0
+
+
+def test_luminance_white():
+    white = spec.from_rgb(jnp.asarray([1.0, 1.0, 1.0]))
+    y = float(spec.luminance(white))
+    assert abs(y - 1.0) < 0.02
+
+
+def test_xyz_rgb_matrices_inverse():
+    np.testing.assert_allclose(
+        spec.XYZ_TO_RGB @ spec.RGB_TO_XYZ, np.eye(3), atol=2e-4
+    )
+
+
+def test_average_spectrum_samples_constant():
+    lam = np.array([400.0, 700.0])
+    v = np.array([2.0, 2.0])
+    assert spec.average_spectrum_samples(lam, v, 450, 460) == pytest.approx(2.0)
+    # constant extrapolation outside range
+    assert spec.average_spectrum_samples(lam, v, 300, 350) == pytest.approx(2.0)
+    assert spec.average_spectrum_samples(lam, v, 800, 900) == pytest.approx(2.0)
+
+
+def test_average_spectrum_samples_linear():
+    lam = np.array([400.0, 500.0])
+    v = np.array([0.0, 1.0])
+    # average over [400,500] of linear ramp = 0.5
+    assert spec.average_spectrum_samples(lam, v, 400, 500) == pytest.approx(0.5)
+    # over [450, 500]: mean of 0.5..1.0 = 0.75
+    assert spec.average_spectrum_samples(lam, v, 450, 500) == pytest.approx(0.75)
+
+
+def test_from_sampled_sorts():
+    lam = np.array([700.0, 400.0, 550.0])
+    v = np.array([1.0, 1.0, 1.0])
+    s = spec.from_sampled(lam, v)
+    np.testing.assert_allclose(s, np.ones(32), atol=1e-6)
+
+
+def test_value_at_wavelength():
+    s = jnp.asarray(np.arange(32, dtype=np.float32))
+    # λ=400 is 0.5 bins into bin 0 → lerp(0.5, c0=0, c1=1) = 0.5
+    v = spec.value_at_wavelength(s, 400.0)
+    assert float(v) == pytest.approx(0.5)
+    # exact left edge of bin 3: 395+30=425 → c[3]=3
+    v = spec.value_at_wavelength(s, 425.0)
+    assert float(v) == pytest.approx(3.0)
+    # batch
+    vb = spec.value_at_wavelength(jnp.stack([s, s]), jnp.asarray([400.0, 425.0]))
+    np.testing.assert_allclose(np.asarray(vb), [0.5, 3.0])
+
+
+def test_blackbody_peak_wien():
+    # Wien: peak λ ≈ 2.898e6/T nm. At 5200K ≈ 557nm (within visible range)
+    cfg = SpectralConfig(380, 720, 34)
+    bb = spec.blackbody(5200.0, cfg)
+    peak = cfg.bin_centers[np.argmax(bb)]
+    assert abs(peak - 2.898e6 / 5200.0) < 30
+
+
+def test_interpolate_spectrum_samples():
+    lam = np.array([400.0, 500.0, 600.0])
+    v = np.array([0.0, 1.0, 0.0])
+    assert spec.interpolate_spectrum_samples(lam, v, 450.0) == pytest.approx(0.5)
+    assert spec.interpolate_spectrum_samples(lam, v, 350.0) == pytest.approx(0.0)
+    assert spec.interpolate_spectrum_samples(lam, v, 650.0) == pytest.approx(0.0)
