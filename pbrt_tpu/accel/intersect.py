@@ -1,0 +1,433 @@
+"""Device-side scene geometry (SoA) and batched ray intersection.
+
+Reference behavior: Scene::Intersect/IntersectP dispatching into
+BVHAccel::Intersect's iterative stack walk over LinearBVHNode[]
+(reference: src/accelerators/bvh.cpp:105-200) and per-primitive
+Triangle::Intersect (src/shapes/trianglemesh.cpp:120-200) / quadric
+intersections (src/shapes/{sphere,cylinder,disk,...}.cpp).
+
+TPU-native design:
+  - One flattened world-space geometry pytree (``SceneGeometry``): triangle
+    soup SoA + quadric table SoA + linear BVH arrays. Primitive ids are
+    global: [0, T) triangles, [T, T+Q) quadrics.
+  - Traversal is a per-ray short-stack ``lax.while_loop`` vmapped over the
+    wavefront — XLA masks the batch so the loop runs until the last ray
+    terminates (wavefront semantics for free).
+  - A hit is (t, prim, b1, b2); differential geometry (position, normals,
+    uv, dpdu) is reconstructed afterwards by ``shading_geometry`` only for
+    surviving rays — keeps the traversal state tiny.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pbrt_tpu.core import geometry as geom
+from pbrt_tpu.utils import pytree_dataclass, static_field
+
+MAX_STACK = 64
+
+# quadric type codes
+SPHERE, CYLINDER, DISK, CONE, PARABOLOID, HYPERBOLOID = 0, 1, 2, 3, 4, 5
+
+
+@pytree_dataclass
+class SceneGeometry:
+    # --- triangles (world space) ---
+    tri_v0: jnp.ndarray  # (T, 3)
+    tri_e1: jnp.ndarray  # (T, 3) v1 - v0
+    tri_e2: jnp.ndarray  # (T, 3) v2 - v0
+    tri_n0: jnp.ndarray  # (T, 3) shading normals (face normal if mesh had none)
+    tri_n1: jnp.ndarray
+    tri_n2: jnp.ndarray
+    tri_uv0: jnp.ndarray  # (T, 2)
+    tri_uv1: jnp.ndarray
+    tri_uv2: jnp.ndarray
+    tri_material: jnp.ndarray  # (T,) i32 index into material table
+    tri_area_light: jnp.ndarray  # (T,) i32 area-light id, -1 = none
+    tri_mesh_id: jnp.ndarray  # (T,) i32 fork primitive id (metadata masks)
+    # --- quadrics ---
+    quad_type: jnp.ndarray  # (Q,) i32
+    quad_o2w: jnp.ndarray  # (Q, 4, 4)
+    quad_w2o: jnp.ndarray  # (Q, 4, 4)
+    quad_params: jnp.ndarray  # (Q, 8) radius/zmin/zmax/phimax/height/inner_r/...
+    quad_material: jnp.ndarray  # (Q,)
+    quad_area_light: jnp.ndarray  # (Q,)
+    quad_mesh_id: jnp.ndarray  # (Q,)
+    quad_reverse: jnp.ndarray  # (Q,) bool reverseorientation ^ swaps_handedness
+    # --- BVH ---
+    node_lo: jnp.ndarray  # (N, 3)
+    node_hi: jnp.ndarray  # (N, 3)
+    node_second: jnp.ndarray  # (N,) i32
+    node_count: jnp.ndarray  # (N,) i32
+    node_axis: jnp.ndarray  # (N,) i32
+    prim_order: jnp.ndarray  # (P,) i32
+    world_lo: jnp.ndarray  # (3,)
+    world_hi: jnp.ndarray  # (3,)
+
+    @property
+    def num_triangles(self) -> int:
+        return self.tri_v0.shape[0]
+
+    @property
+    def num_quadrics(self) -> int:
+        return self.quad_type.shape[0]
+
+
+class Hit(NamedTuple):
+    """Minimal hit record carried through traversal (SoA over rays)."""
+
+    t: jnp.ndarray  # (R,)
+    prim: jnp.ndarray  # (R,) global prim id, -1 = miss
+    b1: jnp.ndarray  # (R,) triangle barycentric / quadric u
+    b2: jnp.ndarray  # (R,) triangle barycentric / quadric v
+
+    @property
+    def valid(self):
+        return self.prim >= 0
+
+
+# ---------------------------------------------------------------------------
+# Primitive tests (single ray × single primitive; vmapped by callers)
+# ---------------------------------------------------------------------------
+
+
+def _tri_test(g: SceneGeometry, p, o, d, tmin, tmax):
+    """Möller–Trumbore. Returns (hit, t, b1, b2)."""
+    v0 = g.tri_v0[p]
+    e1 = g.tri_e1[p]
+    e2 = g.tri_e2[p]
+    pv = jnp.cross(d, e2)
+    det = jnp.dot(e1, pv)
+    inv_det = jnp.where(jnp.abs(det) < 1e-12, 0.0, 1.0 / det)
+    tv = o - v0
+    b1 = jnp.dot(tv, pv) * inv_det
+    qv = jnp.cross(tv, e1)
+    b2 = jnp.dot(d, qv) * inv_det
+    t = jnp.dot(e2, qv) * inv_det
+    hit = (
+        (jnp.abs(det) >= 1e-12)
+        & (b1 >= 0.0)
+        & (b2 >= 0.0)
+        & (b1 + b2 <= 1.0)
+        & (t > tmin)
+        & (t < tmax)
+    )
+    return hit, t, b1, b2
+
+
+def _quadratic(a, b, c):
+    """Stable quadratic solve (reference: pbrt.h:286-311). Returns
+    (has_roots, t0, t1) with t0 <= t1."""
+    disc = b * b - 4.0 * a * c
+    ok = disc >= 0.0
+    root = jnp.sqrt(jnp.maximum(disc, 0.0))
+    q = jnp.where(b < 0.0, -0.5 * (b - root), -0.5 * (b + root))
+    safe = lambda x, y: x / jnp.where(jnp.abs(y) < 1e-20, 1e-20, y)
+    t0 = safe(q, a)
+    t1 = safe(c, q)
+    return ok, jnp.minimum(t0, t1), jnp.maximum(t0, t1)
+
+
+def _quad_test(g: SceneGeometry, q, o_w, d_w, tmin, tmax):
+    """Quadric intersection in object space. Returns (hit, t, u, v).
+
+    u, v are the parametric coordinates (φ/φmax, height/θ fraction) used by
+    shading_geometry to reconstruct normals.
+    """
+    w2o = g.quad_w2o[q]
+    o = o_w @ w2o[:3, :3].T + w2o[:3, 3]
+    d = d_w @ w2o[:3, :3].T
+    typ = g.quad_type[q]
+    prm = g.quad_params[q]
+    radius, zmin, zmax, phimax = prm[0], prm[1], prm[2], prm[3]
+    height, inner_r = prm[4], prm[5]
+
+    ox, oy, oz = o[0], o[1], o[2]
+    dx, dy, dz = d[0], d[1], d[2]
+
+    def clip_root(thit, ok_fn):
+        """Try t0 then t1 against clipping predicate ok_fn(point, phi)."""
+        return thit
+
+    def phi_of(p):
+        phi = jnp.arctan2(p[1], p[0])
+        return jnp.where(phi < 0.0, phi + 2.0 * jnp.pi, phi)
+
+    def pick(ok, t0, t1, valid_fn):
+        """Choose nearest valid root with clip test (pbrt two-root pattern)."""
+        p0 = o + t0 * d
+        p1 = o + t1 * d
+        v0 = ok & (t0 > tmin) & (t0 < tmax) & valid_fn(p0)
+        v1 = ok & (t1 > tmin) & (t1 < tmax) & valid_fn(p1)
+        t = jnp.where(v0, t0, jnp.where(v1, t1, jnp.inf))
+        return v0 | v1, t
+
+    eps_z = 1e-5
+
+    # -- sphere (reference: shapes/sphere.cpp:90-150)
+    def sphere():
+        a = dx * dx + dy * dy + dz * dz
+        b = 2.0 * (dx * ox + dy * oy + dz * oz)
+        c = ox * ox + oy * oy + oz * oz - radius * radius
+        ok, t0, t1 = _quadratic(a, b, c)
+
+        def valid(p):
+            return (
+                (p[2] >= zmin - eps_z)
+                & (p[2] <= zmax + eps_z)
+                & (phi_of(p) <= phimax + 1e-6)
+            )
+
+        return pick(ok, t0, t1, valid)
+
+    # -- cylinder (reference: shapes/cylinder.cpp:80-130)
+    def cylinder():
+        a = dx * dx + dy * dy
+        b = 2.0 * (dx * ox + dy * oy)
+        c = ox * ox + oy * oy - radius * radius
+        ok, t0, t1 = _quadratic(a, b, c)
+
+        def valid(p):
+            return (p[2] >= zmin) & (p[2] <= zmax) & (phi_of(p) <= phimax + 1e-6)
+
+        return pick(ok, t0, t1, valid)
+
+    # -- disk (reference: shapes/disk.cpp:75-115)
+    def disk():
+        t = jnp.where(jnp.abs(dz) < 1e-9, jnp.inf, (height - oz) / dz)
+        p = o + t * d
+        r2 = p[0] * p[0] + p[1] * p[1]
+        v = (
+            (t > tmin)
+            & (t < tmax)
+            & jnp.isfinite(t)
+            & (r2 <= radius * radius)
+            & (r2 >= inner_r * inner_r)
+            & (phi_of(p) <= phimax + 1e-6)
+        )
+        return v, jnp.where(v, t, jnp.inf)
+
+    # -- cone (reference: shapes/cone.cpp): apex at z=height, base r at z=0
+    def cone():
+        k = (radius / height) ** 2
+        a = dx * dx + dy * dy - k * dz * dz
+        b = 2.0 * (dx * ox + dy * oy - k * dz * (oz - height))
+        c = ox * ox + oy * oy - k * (oz - height) * (oz - height)
+        ok, t0, t1 = _quadratic(a, b, c)
+
+        def valid(p):
+            return (p[2] >= 0.0) & (p[2] <= height) & (phi_of(p) <= phimax + 1e-6)
+
+        return pick(ok, t0, t1, valid)
+
+    # -- paraboloid (reference: shapes/paraboloid.cpp): z = h*(x²+y²)/r²
+    def paraboloid():
+        k = height / (radius * radius)
+        a = k * (dx * dx + dy * dy)
+        b = 2.0 * k * (dx * ox + dy * oy) - dz
+        c = k * (ox * ox + oy * oy) - oz
+        ok, t0, t1 = _quadratic(a, b, c)
+
+        def valid(p):
+            return (p[2] >= zmin) & (p[2] <= zmax) & (phi_of(p) <= phimax + 1e-6)
+
+        return pick(ok, t0, t1, valid)
+
+    # -- hyperboloid (reference: shapes/hyperboloid.cpp): x²+y²-z²·k = c
+    def hyperboloid():
+        # params: prm[6] = a-coef, prm[7] = c-coef of x²+y²-(a/c)z² form
+        ah, ch = prm[6], prm[7]
+        a = ah * (dx * dx + dy * dy) - ch * dz * dz
+        b = 2.0 * (ah * (dx * ox + dy * oy) - ch * dz * oz)
+        c = ah * (ox * ox + oy * oy) - ch * oz * oz - 1.0
+        ok, t0, t1 = _quadratic(a, b, c)
+
+        def valid(p):
+            return (p[2] >= zmin) & (p[2] <= zmax) & (phi_of(p) <= phimax + 1e-6)
+
+        return pick(ok, t0, t1, valid)
+
+    hit, t = jax.lax.switch(
+        jnp.clip(typ, 0, 5),
+        [sphere, cylinder, disk, cone, paraboloid, hyperboloid],
+    )
+    # parametric coords for shading
+    p = o + t * d
+    u = phi_of(p) / jnp.maximum(phimax, 1e-9)
+    vdenom = jnp.maximum(zmax - zmin, 1e-9)
+    v = (p[2] - zmin) / vdenom
+    return hit, t, jnp.where(hit, u, 0.0), jnp.where(hit, v, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# BVH traversal (single ray; vmapped)
+# ---------------------------------------------------------------------------
+
+
+def _make_inv_dir(d):
+    return jnp.where(jnp.abs(d) < 1e-20, jnp.float32(1e20) * jnp.sign(d + 1e-30), 1.0 / d)
+
+
+def _slab(lo, hi, o, inv_d, tmin, tmax):
+    t0 = (lo - o) * inv_d
+    t1 = (hi - o) * inv_d
+    tn = jnp.minimum(t0, t1)
+    tf = jnp.maximum(t0, t1)
+    enter = jnp.maximum(jnp.max(tn), tmin)
+    exit_ = jnp.minimum(jnp.min(tf), tmax)
+    return enter <= exit_
+
+
+def _traverse_one(g: SceneGeometry, o, d, tmin, tmax, any_hit: bool):
+    """Closest-hit (or any-hit) traversal for a single ray."""
+    T = g.num_triangles
+    Q = g.num_quadrics
+    inv_d = _make_inv_dir(d)
+    dir_neg = (d < 0.0).astype(jnp.int32)  # (3,)
+
+    def test_prim(p, tmin_, tbest):
+        if Q == 0:
+            return _tri_test(g, p, o, d, tmin_, tbest)
+        if T == 0:
+            return _quad_test(g, p, o, d, tmin_, tbest)
+        is_tri = p < T
+
+        def tri_branch(_):
+            return _tri_test(g, jnp.minimum(p, T - 1), o, d, tmin_, tbest)
+
+        def quad_branch(_):
+            return _quad_test(g, jnp.maximum(p - T, 0), o, d, tmin_, tbest)
+
+        return jax.lax.cond(is_tri, tri_branch, quad_branch, None)
+
+    State = tuple  # (sp, stack, t_best, prim_best, b1, b2)
+    stack0 = jnp.zeros(MAX_STACK, jnp.int32)
+    init = (
+        jnp.int32(1),
+        stack0,
+        jnp.asarray(tmax, jnp.float32),
+        jnp.int32(-1),
+        jnp.float32(0.0),
+        jnp.float32(0.0),
+    )
+
+    def cond(s):
+        sp, _, _, prim_best, _, _ = s
+        alive = sp > 0
+        if any_hit:
+            alive = alive & (prim_best < 0)
+        return alive
+
+    def body(s):
+        sp, stack, t_best, prim_best, b1b, b2b = s
+        node = stack[sp - 1]
+        sp = sp - 1
+        hit_box = _slab(g.node_lo[node], g.node_hi[node], o, inv_d, tmin, t_best)
+        count = g.node_count[node]
+        is_leaf = count > 0
+
+        # --- leaf: test primitives [offset, offset+count) ---
+        def leaf_fn(carry):
+            t_best, prim_best, b1b, b2b = carry
+            offset = g.node_second[node]
+
+            def prim_body(i, c):
+                tb, pb, x1, x2 = c
+                p = g.prim_order[offset + i]
+                h, t, u1, u2 = test_prim(p, tmin, tb)
+                better = h & (t < tb)
+                return (
+                    jnp.where(better, t, tb),
+                    jnp.where(better, p, pb),
+                    jnp.where(better, u1, x1),
+                    jnp.where(better, u2, x2),
+                )
+
+            return jax.lax.fori_loop(
+                0, count, prim_body, (t_best, prim_best, b1b, b2b)
+            )
+
+        t_best, prim_best, b1b, b2b = jax.lax.cond(
+            hit_box & is_leaf,
+            leaf_fn,
+            lambda c: c,
+            (t_best, prim_best, b1b, b2b),
+        )
+
+        # --- interior: push children, near child on top ---
+        push = hit_box & (~is_leaf)
+        axis = g.node_axis[node]
+        second = g.node_second[node]
+        near_first = dir_neg[axis] == 0  # positive dir → left (node+1) first
+        c_near = jnp.where(near_first, node + 1, second)
+        c_far = jnp.where(near_first, second, node + 1)
+        # push far then near (near popped first)
+        stack = jnp.where(push, stack.at[sp].set(c_far), stack)
+        sp1 = sp + push.astype(jnp.int32)
+        stack = jnp.where(push, stack.at[sp1].set(c_near), stack)
+        sp = sp1 + push.astype(jnp.int32)
+        return (sp, stack, t_best, prim_best, b1b, b2b)
+
+    sp, _, t_best, prim_best, b1, b2 = jax.lax.while_loop(cond, body, init)
+    return t_best, prim_best, b1, b2
+
+
+@functools.partial(jax.jit, static_argnames=("any_hit",))
+def intersect(g: SceneGeometry, ray: geom.Ray, any_hit: bool = False) -> Hit:
+    """Batched closest-hit (or any-hit) intersection.
+
+    ray fields are (R, …); returns Hit with (R,) fields. Equivalent of
+    Scene::Intersect / Scene::IntersectP (reference: core/scene.h:42-53).
+    """
+    f = jax.vmap(
+        lambda o, d, t0, t1: _traverse_one(g, o, d, t0, t1, any_hit),
+        in_axes=(0, 0, 0, 0),
+    )
+    t, prim, b1, b2 = f(ray.origin, ray.direction, ray.tmin, ray.tmax)
+    return Hit(t=t, prim=prim, b1=b1, b2=b2)
+
+
+def intersect_brute(g: SceneGeometry, ray: geom.Ray) -> Hit:
+    """Exhaustive all-primitives loop — the correctness oracle the reference
+    uses in its aggregatetest fuzzer (renderers/aggregatetest.cpp:53-112)."""
+    R = ray.origin.shape[0]
+    T = g.num_triangles
+
+    def one(o, d, tmin, tmax):
+        tb, pb, b1b, b2b = tmax, jnp.int32(-1), jnp.float32(0), jnp.float32(0)
+
+        def body(p, c):
+            tb, pb, x1, x2 = c
+            if T > 0:
+                pass
+            is_tri = p < T
+            if g.num_quadrics == 0:
+                h, t, u1, u2 = _tri_test(g, p, o, d, tmin, tb)
+            elif T == 0:
+                h, t, u1, u2 = _quad_test(g, p, o, d, tmin, tb)
+            else:
+                h, t, u1, u2 = jax.lax.cond(
+                    is_tri,
+                    lambda _: _tri_test(g, jnp.minimum(p, T - 1), o, d, tmin, tb),
+                    lambda _: _quad_test(g, jnp.maximum(p - T, 0), o, d, tmin, tb),
+                    None,
+                )
+            better = h & (t < tb)
+            return (
+                jnp.where(better, t, tb),
+                jnp.where(better, p, pb),
+                jnp.where(better, u1, x1),
+                jnp.where(better, u2, x2),
+            )
+
+        n_prims = T + g.num_quadrics
+        return jax.lax.fori_loop(0, n_prims, body, (tb, pb, b1b, b2b))
+
+    t, prim, b1, b2 = jax.vmap(one)(ray.origin, ray.direction, ray.tmin, ray.tmax)
+    return Hit(t=t, prim=prim, b1=b1, b2=b2)

@@ -1,0 +1,151 @@
+"""Surface interactions: differential geometry at hit points.
+
+Reference: src/core/{intersection,diffgeom}.{h,cpp} — Intersection holds a
+DifferentialGeometry (p, nn, u/v, dpdu/dpdv), the o2w transform, shape /
+primitive / **material id (fork, intersection.h:42,54)** and rayEpsilon.
+
+TPU-native design: the traversal returns only (t, prim, b1, b2); this module
+reconstructs the full interaction SoA for the whole wavefront in one
+vectorized pass (gathers by prim id) — the analogue of pbrt's per-hit
+DifferentialGeometry fill-in, hoisted out of the traversal loop.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from pbrt_tpu.accel.intersect import SceneGeometry, Hit
+from pbrt_tpu.core import geometry as geom
+from pbrt_tpu.core import transform as xf
+from pbrt_tpu.utils import pytree_dataclass
+
+
+@pytree_dataclass
+class SurfaceInteraction:
+    """SoA over the ray batch. Invalid lanes hold harmless defaults."""
+
+    valid: jnp.ndarray  # (R,) bool
+    t: jnp.ndarray  # (R,)
+    p: jnp.ndarray  # (R, 3) hit position
+    ng: jnp.ndarray  # (R, 3) geometric normal (faceforwarded to shading)
+    ns: jnp.ndarray  # (R, 3) shading normal
+    uv: jnp.ndarray  # (R, 2)
+    dpdu: jnp.ndarray  # (R, 3) primary tangent (shading frame s-axis seed)
+    wo: jnp.ndarray  # (R, 3) -ray.direction
+    material: jnp.ndarray  # (R,) i32, -1 invalid
+    area_light: jnp.ndarray  # (R,) i32, -1 none
+    mesh_id: jnp.ndarray  # (R,) i32 (fork metadata channel)
+    prim: jnp.ndarray  # (R,) i32
+    ray_epsilon: jnp.ndarray  # (R,)
+
+
+def surface_interaction(
+    g: SceneGeometry, ray: geom.Ray, hit: Hit
+) -> SurfaceInteraction:
+    T = g.num_triangles
+    Q = g.num_quadrics
+    valid = hit.valid
+    prim_safe = jnp.maximum(hit.prim, 0)
+    p = ray.at(hit.t)
+    wo = -geom.normalize(ray.direction)
+
+    if T > 0:
+        ti = jnp.clip(prim_safe, 0, T - 1)
+        b1 = hit.b1
+        b2 = hit.b2
+        b0 = 1.0 - b1 - b2
+        e1 = g.tri_e1[ti]
+        e2 = g.tri_e2[ti]
+        ng_t = geom.normalize(jnp.cross(e1, e2))
+        ns_t = geom.normalize(
+            b0[:, None] * g.tri_n0[ti] + b1[:, None] * g.tri_n1[ti] + b2[:, None] * g.tri_n2[ti]
+        )
+        ng_t = geom.face_forward(ng_t, ns_t)
+        uv_t = (
+            b0[:, None] * g.tri_uv0[ti]
+            + b1[:, None] * g.tri_uv1[ti]
+            + b2[:, None] * g.tri_uv2[ti]
+        )
+        dpdu_t = geom.normalize(e1)
+        mat_t = g.tri_material[ti]
+        al_t = g.tri_area_light[ti]
+        mid_t = g.tri_mesh_id[ti]
+
+    if Q > 0:
+        qi = jnp.clip(prim_safe - T, 0, Q - 1)
+        w2o = g.quad_w2o[qi]
+        o2w = g.quad_o2w[qi]
+        p_obj = jnp.einsum("rij,rj->ri", w2o[:, :3, :3], p) + w2o[:, :3, 3]
+        typ = g.quad_type[qi]
+        prm = g.quad_params[qi]
+        radius = prm[:, 0]
+        height = prm[:, 4]
+        x, y, z = p_obj[:, 0], p_obj[:, 1], p_obj[:, 2]
+        # implicit gradients per type (object space)
+        n_sphere = p_obj
+        n_cyl = jnp.stack([x, y, jnp.zeros_like(z)], -1)
+        n_disk = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), p_obj.shape)
+        k_cone = (radius / jnp.maximum(height, 1e-9)) ** 2
+        n_cone = jnp.stack([x, y, -k_cone * (z - height)], -1)
+        k_par = height / jnp.maximum(radius * radius, 1e-9)
+        n_par = jnp.stack([2 * k_par * x, 2 * k_par * y, -jnp.ones_like(z)], -1)
+        ah, ch = prm[:, 6], prm[:, 7]
+        n_hyp = jnp.stack([ah * x, ah * y, -ch * z], -1)
+        n_obj = jnp.select(
+            [(typ == i)[:, None] for i in range(6)],
+            [n_sphere, n_cyl, n_disk, n_cone, n_par, n_hyp],
+            n_sphere,
+        )
+        # normals transform by inverse-transpose: n_world = n_obj @ w2o[:3,:3]
+        n_w = jnp.einsum("ri,rij->rj", n_obj, w2o[:, :3, :3])
+        n_w = geom.normalize(n_w)
+        n_w = jnp.where(g.quad_reverse[qi][:, None], -n_w, n_w)
+        # dpdu: φ-direction tangent
+        dpdu_obj = jnp.stack([-y, x, jnp.zeros_like(z)], -1)
+        dpdu_q = geom.normalize(
+            jnp.einsum("rij,rj->ri", o2w[:, :3, :3], dpdu_obj)
+        )
+        uv_q = jnp.stack([hit.b1, hit.b2], -1)
+        mat_q = g.quad_material[qi]
+        al_q = g.quad_area_light[qi]
+        mid_q = g.quad_mesh_id[qi]
+
+    if T > 0 and Q > 0:
+        is_tri = (hit.prim < T)[:, None]
+        ng = jnp.where(is_tri, ng_t, n_w)
+        ns = jnp.where(is_tri, ns_t, n_w)
+        uv = jnp.where(is_tri, uv_t, uv_q)
+        dpdu = jnp.where(is_tri, dpdu_t, dpdu_q)
+        is_tri1 = hit.prim < T
+        material = jnp.where(is_tri1, mat_t, mat_q)
+        area_light = jnp.where(is_tri1, al_t, al_q)
+        mesh_id = jnp.where(is_tri1, mid_t, mid_q)
+    elif T > 0:
+        ng, ns, uv, dpdu = ng_t, ns_t, uv_t, dpdu_t
+        material, area_light, mesh_id = mat_t, al_t, mid_t
+    else:
+        ng, ns, uv, dpdu = n_w, n_w, uv_q, dpdu_q
+        material, area_light, mesh_id = mat_q, al_q, mid_q
+
+    neg1 = jnp.full(valid.shape, -1, jnp.int32)
+    return SurfaceInteraction(
+        valid=valid,
+        t=hit.t,
+        p=p,
+        ng=ng,
+        ns=ns,
+        uv=uv,
+        dpdu=dpdu,
+        wo=wo,
+        material=jnp.where(valid, material, neg1),
+        area_light=jnp.where(valid, area_light, neg1),
+        mesh_id=jnp.where(valid, mesh_id, neg1),
+        prim=hit.prim,
+        ray_epsilon=1e-3 * jnp.abs(hit.t),
+    )
+
+
+def offset_ray_origin(p, ng, w, eps):
+    """Spawn-point offset along the geometric normal, signed toward w."""
+    sign = jnp.where(geom.dot(ng, w) >= 0.0, 1.0, -1.0)
+    return p + (sign * eps)[..., None] * ng
