@@ -385,6 +385,14 @@ def intersect(g: SceneGeometry, ray: geom.Ray, any_hit: bool = False) -> Hit:
     ray fields are (R, …); returns Hit with (R,) fields. Equivalent of
     Scene::Intersect / Scene::IntersectP (reference: core/scene.h:42-53).
     """
+    if g.num_triangles + g.num_quadrics == 0:
+        R = ray.origin.shape[0]
+        return Hit(
+            t=jnp.full((R,), jnp.inf, jnp.float32),
+            prim=jnp.full((R,), -1, jnp.int32),
+            b1=jnp.zeros((R,), jnp.float32),
+            b2=jnp.zeros((R,), jnp.float32),
+        )
     f = jax.vmap(
         lambda o, d, t0, t1: _traverse_one(g, o, d, t0, t1, any_hit),
         in_axes=(0, 0, 0, 0),

@@ -46,8 +46,21 @@ def surface_interaction(
     Q = g.num_quadrics
     valid = hit.valid
     prim_safe = jnp.maximum(hit.prim, 0)
-    p = ray.at(hit.t)
+    p = ray.at(jnp.where(jnp.isfinite(hit.t), hit.t, 0.0))
     wo = -geom.normalize(ray.direction)
+    if T == 0 and Q == 0:
+        R = valid.shape[0]
+        z3 = jnp.zeros((R, 3), jnp.float32)
+        neg1 = jnp.full((R,), -1, jnp.int32)
+        up = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), (R, 3))
+        return SurfaceInteraction(
+            valid=jnp.zeros((R,), bool), t=hit.t, p=p, ng=up, ns=up,
+            uv=jnp.zeros((R, 2)), dpdu=jnp.broadcast_to(
+                jnp.asarray([1.0, 0.0, 0.0]), (R, 3)
+            ),
+            wo=wo, material=neg1, area_light=neg1, mesh_id=neg1,
+            prim=hit.prim, ray_epsilon=jnp.zeros((R,)),
+        )
 
     if T > 0:
         ti = jnp.clip(prim_safe, 0, T - 1)

@@ -34,8 +34,12 @@ def root_key(seed: int = 0) -> jax.Array:
 
 
 def pixel_sample_key(key, pixel_index, sample_index):
-    """Fold pixel and sample ids into per-path keys. Vectorized: pixel_index /
-    sample_index may be arrays; returns a key array of that shape."""
+    """Fold pixel and sample ids into per-path keys. Vectorized: pixel_index
+    is an array; sample_index broadcasts against it. Returns keys of
+    pixel_index's shape."""
+    sample_index = jnp.broadcast_to(
+        jnp.asarray(sample_index), jnp.shape(pixel_index)
+    )
     k = jax.vmap(jax.random.fold_in, in_axes=(None, 0))(
         key, jnp.ravel(pixel_index).astype(jnp.uint32)
     )

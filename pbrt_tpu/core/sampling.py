@@ -261,7 +261,8 @@ def reverse_bits32(n):
 
 
 def van_der_corput(n, scramble=0):
-    """Base-2 radical inverse with XOR scramble (montecarlo.h:201-210)."""
+    """Base-2 radical inverse with XOR scramble (montecarlo.h:201-210).
+    n and scramble broadcast against each other."""
     bits = reverse_bits32(n) ^ jnp.asarray(scramble, jnp.uint32)
     return jnp.minimum(
         bits.astype(jnp.float32) * jnp.float32(2.3283064365386963e-10), ONE_MINUS_EPS
@@ -273,11 +274,12 @@ def sobol2(n, scramble=0):
 
     Direction numbers v_i = pattern generated by v ^= v >> 1 recurrence; the
     classic loop is unrolled to 32 static iterations (jit-friendly).
+    n and scramble broadcast against each other.
     """
-    n = jnp.asarray(n, jnp.uint32)
-    result = jnp.broadcast_to(jnp.asarray(scramble, jnp.uint32), n.shape).astype(
-        jnp.uint32
-    )
+    scramble = jnp.asarray(scramble, jnp.uint32)
+    shape = jnp.broadcast_shapes(jnp.shape(n), scramble.shape)
+    n = jnp.broadcast_to(jnp.asarray(n, jnp.uint32), shape)
+    result = jnp.broadcast_to(scramble, shape).astype(jnp.uint32)
     v = jnp.uint32(1 << 31)
     for i in range(32):
         take = ((n >> jnp.uint32(i)) & jnp.uint32(1)).astype(jnp.bool_)

@@ -133,22 +133,23 @@ def swaps_handedness(m: np.ndarray) -> bool:
 
 
 def apply_point(m, p):
-    """Transform points (..., 3) by m; handles the homogeneous divide."""
+    """Transform points (..., 3) by m ((4,4) or batched (..., 4, 4));
+    handles the homogeneous divide."""
     m = jnp.asarray(m, p.dtype)
-    r = p @ jnp.swapaxes(m[..., :3, :3], -1, -2) + m[..., :3, 3]
-    w = p @ m[..., 3, :3] + m[..., 3, 3]
+    r = jnp.einsum("...ij,...j->...i", m[..., :3, :3], p) + m[..., :3, 3]
+    w = jnp.einsum("...j,...j->...", m[..., 3, :3], p) + m[..., 3, 3]
     return r / w[..., None]
 
 
 def apply_vector(m, v):
     m = jnp.asarray(m, v.dtype)
-    return v @ jnp.swapaxes(m[..., :3, :3], -1, -2)
+    return jnp.einsum("...ij,...j->...i", m[..., :3, :3], v)
 
 
 def apply_normal(m_inv, n):
     """Normals transform by the inverse transpose (reference: transform.h:262)."""
     m_inv = jnp.asarray(m_inv, n.dtype)
-    return n @ m_inv[..., :3, :3]
+    return jnp.einsum("...ji,...j->...i", m_inv[..., :3, :3], n)
 
 
 def apply_ray(m, ray):

@@ -1,0 +1,220 @@
+"""Spectral film: filtered accumulation + ISET .dat output.
+
+Reference: src/film/spectralImage.{h,cpp} — the fork's primary film. Each
+pixel holds nbins float channels + weightSum + splat + depth Z; AddSample
+adds filter-weighted ``L.GetOrigC()`` per bin (spectralImage.cpp:77-152),
+depth accumulates filter-weighted ``ray.maxt`` (:147); WriteImage emits a
+``.dat`` with text header "xres yres nbins" + "focalLength fStop FOV"
+followed by float64 binary planes, **without** weight normalization
+(Trisha's note at :295); pixels reset afterwards for multi-camera renders
+(:375-377). Also the upstream RGB ImageFilm (src/film/image.cpp) for EXR
+output.
+
+TPU-native design: film state is a pytree of (H, W, ·) arrays updated by a
+pure ``add_samples`` scatter-add over the whole wavefront — the atomic-add
+contention of the reference (AtomicAdd, spectralImage.cpp:136-142) becomes
+a deterministic ``.at[].add``. The filter footprint loop is a static
+(2·⌈w⌉)² unrolled neighborhood using the precomputed 16×16 filter table.
+Per-device partial films are psum-merged by the parallel layer.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import struct
+
+import jax.numpy as jnp
+import numpy as np
+
+from pbrt_tpu.core.filters import FILTER_TABLE_SIZE, Filter
+from pbrt_tpu.utils import pytree_dataclass, static_field
+
+
+@pytree_dataclass
+class FilmState:
+    """Accumulation buffers (one per device; psum-reduced across devices)."""
+
+    pixels: jnp.ndarray  # (H, W, S) Σ filter-weighted radiance
+    weight: jnp.ndarray  # (H, W) Σ filter weights
+    splat: jnp.ndarray  # (H, W, S) unweighted splats (MLT)
+    depth: jnp.ndarray  # (H, W) Σ filter-weighted hit distances
+
+
+@dataclasses.dataclass(frozen=True)
+class FilmConfig:
+    xres: int = 256
+    yres: int = 256
+    n_bins: int = 32
+    filter: Filter = Filter()
+    crop: tuple = (0.0, 1.0, 0.0, 1.0)
+    filename: str = "out.dat"
+    # lens metadata written into the .dat header (filled by the camera,
+    # reference: api.cpp:1423-1440 double-construction hack)
+    focal_length: float = 0.0
+    f_stop: float = 0.0
+    fov: float = 0.0
+
+    @property
+    def pixel_bounds(self):
+        """(x0, x1, y0, y1) integer sample window from crop
+        (reference: Film::GetSampleExtent / image.cpp:58-67)."""
+        x0 = int(np.ceil(self.xres * self.crop[0]))
+        x1 = max(x0 + 1, int(np.ceil(self.xres * self.crop[1])))
+        y0 = int(np.ceil(self.yres * self.crop[2]))
+        y1 = max(y0 + 1, int(np.ceil(self.yres * self.crop[3])))
+        return x0, x1, y0, y1
+
+
+def init_film(cfg: FilmConfig) -> FilmState:
+    H, W, S = cfg.yres, cfg.xres, cfg.n_bins
+    return FilmState(
+        pixels=jnp.zeros((H, W, S), jnp.float32),
+        weight=jnp.zeros((H, W), jnp.float32),
+        splat=jnp.zeros((H, W, S), jnp.float32),
+        depth=jnp.zeros((H, W), jnp.float32),
+    )
+
+
+def add_samples(
+    state: FilmState,
+    cfg: FilmConfig,
+    px: jnp.ndarray,  # (R,) continuous image x (pixel coordinates)
+    py: jnp.ndarray,  # (R,)
+    L: jnp.ndarray,  # (R, S)
+    depth: jnp.ndarray,  # (R,) ray.maxt at termination (0 for miss)
+    table: jnp.ndarray,  # (FILTER_TABLE_SIZE, FILTER_TABLE_SIZE)
+) -> FilmState:
+    """Filter-weighted scatter accumulation (AddSample semantics,
+    reference: spectralImage.cpp:77-152). Sample (px, py) contributes to
+    pixels within the filter radius; weight from the filter table.
+    """
+    H, W = state.weight.shape
+    fx, fy = cfg.filter.xwidth, cfg.filter.ywidth
+    # discrete coords: sample at continuous (px, py); pixel centers at +0.5
+    dx = px - 0.5
+    dy = py - 0.5
+    nx = max(1, int(np.ceil(2.0 * fx)))
+    ny = max(1, int(np.ceil(2.0 * fy)))
+    x0 = jnp.ceil(dx - fx).astype(jnp.int32)
+    y0 = jnp.ceil(dy - fy).astype(jnp.int32)
+    pixels, weight, depth_acc = state.pixels, state.weight, state.depth
+    ts = FILTER_TABLE_SIZE
+    for oy in range(ny):
+        for ox in range(nx):
+            xi = x0 + ox
+            yi = y0 + oy
+            in_img = (xi >= 0) & (xi < W) & (yi >= 0) & (yi < H)
+            fxo = jnp.abs(xi.astype(px.dtype) - dx)
+            fyo = jnp.abs(yi.astype(py.dtype) - dy)
+            in_filt = (fxo < fx) & (fyo < fy)
+            tx = jnp.clip((fxo / fx * ts).astype(jnp.int32), 0, ts - 1)
+            ty = jnp.clip((fyo / fy * ts).astype(jnp.int32), 0, ts - 1)
+            w = jnp.where(in_img & in_filt, table[ty, tx], 0.0)
+            xi_c = jnp.clip(xi, 0, W - 1)
+            yi_c = jnp.clip(yi, 0, H - 1)
+            pixels = pixels.at[yi_c, xi_c].add(w[:, None] * L)
+            weight = weight.at[yi_c, xi_c].add(w)
+            depth_acc = depth_acc.at[yi_c, xi_c].add(w * depth)
+    return dataclasses.replace(
+        state, pixels=pixels, weight=weight, depth=depth_acc
+    )
+
+
+def add_splats(state: FilmState, px, py, L) -> FilmState:
+    """Unweighted splat (MLT path, reference: spectralImage.cpp:160-176)."""
+    H, W = state.weight.shape
+    xi = jnp.clip(px.astype(jnp.int32), 0, W - 1)
+    yi = jnp.clip(py.astype(jnp.int32), 0, H - 1)
+    return dataclasses.replace(state, splat=state.splat.at[yi, xi].add(L))
+
+
+# ---------------------------------------------------------------------------
+# Output writers (host)
+# ---------------------------------------------------------------------------
+
+
+def write_dat(
+    state: FilmState, cfg: FilmConfig, path: str | None = None, splat_scale=1.0
+):
+    """ISET multispectral ``.dat``: text header then float64 planes,
+    raw accumulation with NO weight normalization
+    (reference: SpectralImageFilm::WriteImage, spectralImage.cpp:295-369)."""
+    path = path or cfg.filename
+    pixels = np.asarray(state.pixels, np.float64)
+    splat = np.asarray(state.splat, np.float64) * splat_scale
+    data = pixels + splat
+    H, W, S = data.shape
+    with open(path, "wb") as f:
+        f.write(f"{W} {H} {S}\n".encode())
+        f.write(f"{cfg.focal_length} {cfg.f_stop} {cfg.fov}\n".encode())
+        # wavelength planes, each (H, W) float64, C order
+        planes = np.transpose(data, (2, 0, 1)).astype("<f8")
+        f.write(planes.tobytes())
+    return path
+
+
+def write_depth_dat(state: FilmState, cfg: FilmConfig, path: str):
+    """Normalized depth map (reference: spectralImageNoCamera.cpp:259-390
+    writes a depth EXR; we emit a float64 .dat plane)."""
+    w = np.asarray(state.weight, np.float64)
+    d = np.asarray(state.depth, np.float64) / np.maximum(w, 1e-12)
+    with open(path, "wb") as f:
+        H, W = d.shape
+        f.write(f"{W} {H} 1\n".encode())
+        f.write(b"0 0 0\n")
+        f.write(d.astype("<f8").tobytes())
+    return path
+
+
+def read_dat(path: str):
+    """Read back a .dat written by write_dat (also parses the reference's
+    format). Returns (data (H, W, S), header dict)."""
+    with open(path, "rb") as f:
+        l1 = f.readline().split()
+        W, H, S = int(l1[0]), int(l1[1]), int(l1[2])
+        l2 = f.readline().split()
+        header = {
+            "focal_length": float(l2[0]),
+            "f_stop": float(l2[1]),
+            "fov": float(l2[2]),
+        }
+        planes = np.frombuffer(f.read(W * H * S * 8), dtype="<f8")
+    return planes.reshape(S, H, W).transpose(1, 2, 0), header
+
+
+def to_rgb_image(state: FilmState, cfg: FilmConfig, config=None) -> np.ndarray:
+    """Weight-normalized RGB preview (upstream ImageFilm::WriteImage
+    behavior, film/image.cpp:169-206)."""
+    from pbrt_tpu.config import DEFAULT_SPECTRAL
+    from pbrt_tpu.core import spectrum as spec
+
+    config = config or DEFAULT_SPECTRAL
+    pixels = np.asarray(state.pixels)
+    w = np.asarray(state.weight)[..., None]
+    norm = pixels / np.maximum(w, 1e-12)
+    rgb = np.asarray(spec.to_rgb(jnp.asarray(norm), config))
+    return np.maximum(rgb, 0.0)
+
+
+def write_pfm(path: str, rgb: np.ndarray):
+    """PFM float image (reference: core/imageio.cpp WritePFM)."""
+    H, W, _ = rgb.shape
+    with open(path, "wb") as f:
+        f.write(b"PF\n")
+        f.write(f"{W} {H}\n".encode())
+        f.write(b"-1.000000\n")  # little-endian
+        # PFM stores bottom-up
+        f.write(rgb[::-1].astype("<f4").tobytes())
+    return path
+
+
+def read_pfm(path: str) -> np.ndarray:
+    with open(path, "rb") as f:
+        assert f.readline().strip() == b"PF"
+        W, H = map(int, f.readline().split())
+        scale = float(f.readline())
+        data = np.frombuffer(
+            f.read(W * H * 3 * 4), dtype="<f4" if scale < 0 else ">f4"
+        )
+    return data.reshape(H, W, 3)[::-1]

@@ -1,0 +1,416 @@
+"""Light system: SoA light table + batched sampling.
+
+Reference: src/lights/ — point, spot, distant, projection, goniometric,
+diffuse (area) with ShapeSet surface sampling (diffuse.h:37-56), infinite
+(lat-long env map + luminance-weighted Distribution2D importance sampling,
+infinite.cpp:77-95, 187-229); interface Light::Sample_L/Pdf/Le/Power
+(core/light.h:40-75).
+
+TPU-native design: all lights of a scene live in one ``LightTable`` pytree;
+``sample_li(table, geom, light_idx, p, u)`` gathers the chosen light's row
+per lane and dispatches on type with ``lax.switch`` (vmapped) — the
+wavefront analogue of virtual Light::Sample_L. Area lights reference the
+flattened scene geometry (sphere quadric row or triangle range with a
+precomputed area CDF) instead of owning shapes. Delta lights return
+``is_delta`` so MIS weights skip them (reference: Light::IsDeltaLight).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pbrt_tpu.core import geometry as geom
+from pbrt_tpu.core import sampling as smp
+from pbrt_tpu.utils import pytree_dataclass, static_field
+
+POINT, SPOT, DISTANT, AREA, INFINITE, PROJECTION, GONIO = range(7)
+
+
+@pytree_dataclass
+class LightTable:
+    type: jnp.ndarray  # (L,) i32
+    l2w: jnp.ndarray  # (L, 4, 4)
+    w2l: jnp.ndarray  # (L, 4, 4)
+    emit: jnp.ndarray  # (L, S): I (point/spot/proj), L (distant/area/inf)
+    pos: jnp.ndarray  # (L, 3) world position (point/spot/proj/gonio)
+    dirw: jnp.ndarray  # (L, 3) world direction (distant, spot axis)
+    cos_total: jnp.ndarray  # (L,) spot outer cone cos
+    cos_falloff: jnp.ndarray  # (L,) spot inner cone cos
+    nsamples: jnp.ndarray  # (L,) i32
+    # area-light linkage into SceneGeometry
+    shape_kind: jnp.ndarray  # (L,) 0 none, 1 sphere quadric, 2 triangle range
+    quad_idx: jnp.ndarray  # (L,) quadric row (sphere area lights)
+    tri_start: jnp.ndarray  # (L,) first triangle
+    tri_count: jnp.ndarray  # (L,) triangle count
+    cdf_offset: jnp.ndarray  # (L,) offset into tri_cdf
+    total_area: jnp.ndarray  # (L,)
+    tri_cdf: jnp.ndarray  # (K,) concatenated per-light area CDFs
+    # environment map (one shared image; lights with env_id<0 are constant)
+    env_id: jnp.ndarray  # (L,) -1 = constant radiance
+    env_map: jnp.ndarray  # (H, W, S) lat-long radiance (dummy (1,1,S) if unused)
+    env_dist: smp.Distribution2D  # importance distribution over (u, v)
+    # scene bounds (distant/infinite need a world radius)
+    world_center: jnp.ndarray  # (3,)
+    world_radius: jnp.ndarray  # ()
+    power_dist: smp.Distribution1D  # light-selection distribution
+
+    @property
+    def count(self) -> int:
+        return self.type.shape[0]
+
+
+@pytree_dataclass
+class LightSample:
+    """Result of sample_li for a wavefront."""
+
+    wi: jnp.ndarray  # (R, 3) unit, toward light
+    L: jnp.ndarray  # (R, S) incident radiance (already /dist² etc.)
+    pdf: jnp.ndarray  # (R,) solid-angle pdf (1 for delta lights)
+    dist: jnp.ndarray  # (R,) distance to light point (inf for distant/env)
+    is_delta: jnp.ndarray  # (R,) bool
+
+
+# ---------------------------------------------------------------------------
+# Per-type samplers (single lane; vmapped)
+# ---------------------------------------------------------------------------
+
+
+def _sample_one(lt: LightTable, g, li, p, u1, u2):
+    """li: scalar light index; p: (3,); u: scalars. Returns lane LightSample
+    fields + (p_light, n_light) for shadow-ray construction."""
+    S = lt.emit.shape[-1]
+    emit = lt.emit[li]
+
+    def d_point():
+        d = lt.pos[li] - p
+        dist2 = jnp.maximum(jnp.dot(d, d), 1e-12)
+        dist = jnp.sqrt(dist2)
+        wi = d / dist
+        return wi, emit / dist2, jnp.float32(1.0), dist, True
+
+    def d_spot():
+        # (reference: lights/spot.cpp Falloff + Sample_L)
+        d = lt.pos[li] - p
+        dist2 = jnp.maximum(jnp.dot(d, d), 1e-12)
+        dist = jnp.sqrt(dist2)
+        wi = d / dist
+        cos_t = jnp.dot(-wi, lt.dirw[li])
+        ct, cf = lt.cos_total[li], lt.cos_falloff[li]
+        delta = jnp.clip((cos_t - ct) / jnp.maximum(cf - ct, 1e-9), 0.0, 1.0)
+        falloff = jnp.where(cos_t < ct, 0.0, jnp.where(cos_t > cf, 1.0, delta**2 * delta**2))
+        return wi, emit * falloff / dist2, jnp.float32(1.0), dist, True
+
+    def d_distant():
+        wi = -lt.dirw[li]
+        return wi, emit, jnp.float32(1.0), jnp.float32(jnp.inf), True
+
+    def a_area():
+        # dispatched further on shape_kind below
+        return _sample_area(lt, g, li, p, u1, u2)
+
+    def i_infinite():
+        return _sample_infinite(lt, li, p, u1, u2)
+
+    wi, L, pdf, dist, is_delta = jax.lax.switch(
+        jnp.clip(lt.type[li], 0, 4),
+        [d_point, d_spot, d_distant, a_area, i_infinite],
+    )
+    return wi, L, pdf, dist, jnp.asarray(is_delta)
+
+
+def _sample_area(lt: LightTable, g, li, p, u1, u2):
+    """Diffuse area light over sphere quadric or triangle range.
+
+    Sphere: uniform-cone sampling from outside (reference:
+    shapes/sphere.cpp:230-270 Sample(p,...)), uniform area inside.
+    Mesh: area-weighted triangle pick + uniform barycentric
+    (reference: ShapeSet sampling, core/light.cpp:36-70).
+    """
+    is_sphere = lt.shape_kind[li] == 1
+    has_quads = g.num_quadrics > 0
+    has_tris = g.num_triangles > 0
+
+    def sphere_case():
+        qi = lt.quad_idx[li]
+        o2w = g.quad_o2w[qi]
+        center = o2w[:3, 3]
+        radius = g.quad_params[qi, 0] * jnp.linalg.norm(o2w[:3, 0])  # uniform scale
+        d = center - p
+        dist2 = jnp.maximum(jnp.dot(d, d), 1e-12)
+        inside = dist2 - radius * radius < 1e-4
+        # --- cone sampling (outside) ---
+        dc = jnp.sqrt(dist2)
+        sin2_max = jnp.clip(radius * radius / dist2, 0.0, 1.0 - 1e-7)
+        cos_max = jnp.sqrt(1.0 - sin2_max)
+        wz = d / dc
+        wx, wy = geom.coordinate_system(wz)
+        wi_cone = geom.spherical_direction_basis(
+            jnp.sqrt(
+                jnp.maximum(0.0, 1.0 - ((1.0 - u1) + u1 * cos_max) ** 2)
+            ),
+            (1.0 - u1) + u1 * cos_max,
+            2.0 * jnp.pi * u2,
+            wx, wy, wz,
+        )
+        pdf_cone = smp.uniform_cone_pdf(cos_max)
+        # distance to sphere surface along wi (for shadow ray)
+        b = jnp.dot(wi_cone, d)
+        disc = b * b - dist2 + radius * radius
+        t_hit = b - jnp.sqrt(jnp.maximum(disc, 0.0))
+        # --- uniform sphere-surface sampling (inside) ---
+        sp = smp.uniform_sample_sphere(u1, u2)
+        p_l = center + radius * sp
+        d_in = p_l - p
+        dist_in = jnp.maximum(geom.length(d_in), 1e-9)
+        wi_in = d_in / dist_in
+        n_l = sp
+        cos_l = jnp.maximum(jnp.dot(n_l, -wi_in), 1e-9)
+        area = 4.0 * jnp.pi * radius * radius
+        pdf_in = dist_in * dist_in / (cos_l * area)
+        wi = jnp.where(inside, wi_in, wi_cone)
+        pdf = jnp.where(inside, pdf_in, pdf_cone)
+        dist = jnp.where(inside, dist_in, t_hit)
+        # emitted only from the outside of the sphere; cone sampling always
+        # sees the front face
+        return wi, lt.emit[li], pdf, dist, False
+
+    def mesh_case():
+        cnt = jnp.maximum(lt.tri_count[li], 1)
+        off = lt.cdf_offset[li]
+        # area-CDF inversion within [off, off+cnt); tri_cdf[off+j] is the
+        # inclusive cumulative area fraction of triangle j for this light
+        idxs = jnp.arange(lt.tri_cdf.shape[0])
+        in_range = (idxs >= off) & (idxs < off + cnt)
+        below = jnp.sum(((lt.tri_cdf < u1) & in_range).astype(jnp.int32))
+        k = jnp.clip(below, 0, cnt - 1)
+        ti = lt.tri_start[li] + k
+        # rescale u1 within the chosen CDF cell to decorrelate from the pick
+        lower = jnp.where(k > 0, lt.tri_cdf[off + k - 1], 0.0)
+        upper = lt.tri_cdf[off + k]
+        u1r = jnp.clip((u1 - lower) / jnp.maximum(upper - lower, 1e-9), 0.0, 1.0)
+        b0, b1 = smp.uniform_sample_triangle(u1r, u2)
+        p_l = g.tri_v0[ti] + b0 * g.tri_e1[ti] + b1 * g.tri_e2[ti]
+        n_l = geom.normalize(jnp.cross(g.tri_e1[ti], g.tri_e2[ti]))
+        d = p_l - p
+        dist = jnp.maximum(geom.length(d), 1e-9)
+        wi = d / dist
+        cos_l = jnp.abs(jnp.dot(n_l, -wi))
+        pdf = dist * dist / jnp.maximum(cos_l * lt.total_area[li], 1e-12)
+        # one-sided emission: L only when the light's front side faces us
+        front = jnp.dot(n_l, -wi) > 0.0
+        L = jnp.where(front, 1.0, 0.0) * lt.emit[li]
+        return wi, L, pdf, dist, False
+
+    if not has_quads and not has_tris:
+        # no geometry ⇒ no area lights can exist; dead branch of the type
+        # switch, but it must still trace
+        return (
+            jnp.asarray([0.0, 0.0, 1.0]),
+            jnp.zeros_like(lt.emit[li]),
+            jnp.float32(0.0),
+            jnp.float32(jnp.inf),
+            False,
+        )
+    if not has_quads:
+        return mesh_case()
+    if not has_tris:
+        return sphere_case()
+    return jax.lax.cond(is_sphere, sphere_case, mesh_case)
+
+
+def smp_phi(w):
+    p = jnp.arctan2(w[..., 1], w[..., 0])
+    return jnp.where(p < 0.0, p + 2.0 * jnp.pi, p)
+
+
+def _sample_infinite(lt: LightTable, li, p, u1, u2):
+    """(reference: infinite.cpp:187-229 Sample_L)."""
+    has_env = lt.env_id[li] >= 0
+
+    def env_case():
+        (u, v), pdf_uv = lt.env_dist.sample_continuous(u1, u2)
+        theta = v * jnp.pi
+        phi = u * 2.0 * jnp.pi
+        st, ct = jnp.sin(theta), jnp.cos(theta)
+        wi_l = jnp.stack([st * jnp.cos(phi), st * jnp.sin(phi), ct], axis=-1)
+        # light-to-world rotation
+        wi = wi_l @ lt.l2w[li][:3, :3].T
+        pdf = pdf_uv / jnp.maximum(2.0 * jnp.pi * jnp.pi * st, 1e-9)
+        H, W = lt.env_map.shape[0], lt.env_map.shape[1]
+        x = jnp.clip((u * W).astype(jnp.int32), 0, W - 1)
+        y = jnp.clip((v * H).astype(jnp.int32), 0, H - 1)
+        L = lt.env_map[y, x] * lt.emit[li]
+        return wi, L, pdf, jnp.float32(jnp.inf), False
+
+    def const_case():
+        wi = smp.uniform_sample_sphere(u1, u2)
+        return (
+            wi,
+            lt.emit[li],
+            jnp.float32(smp.UNIFORM_SPHERE_PDF),
+            jnp.float32(jnp.inf),
+            False,
+        )
+
+    return jax.lax.cond(has_env, env_case, const_case)
+
+
+# ---------------------------------------------------------------------------
+# Batched public interface
+# ---------------------------------------------------------------------------
+
+
+def sample_li(lt: LightTable, g, light_idx, p, u1, u2) -> LightSample:
+    """light_idx, u1, u2: (R,); p: (R, 3)."""
+    wi, L, pdf, dist, is_delta = jax.vmap(
+        lambda li, pi, a, b: _sample_one(lt, g, li, pi, a, b)
+    )(light_idx, p, u1, u2)
+    return LightSample(wi=wi, L=L, pdf=pdf, dist=dist, is_delta=is_delta)
+
+
+def pdf_li(lt: LightTable, g, light_idx, p, wi):
+    """Solid-angle pdf that sample_li would have for direction wi — needed
+    for MIS on BSDF-sampled directions (reference: Light::Pdf)."""
+
+    def one(li, pi, w):
+        def area_pdf():
+            is_sphere = lt.shape_kind[li] == 1
+
+            def sphere_case():
+                qi = lt.quad_idx[li]
+                o2w = g.quad_o2w[qi]
+                center = o2w[:3, 3]
+                radius = g.quad_params[qi, 0] * jnp.linalg.norm(o2w[:3, 0])
+                d = center - pi
+                dist2 = jnp.maximum(jnp.dot(d, d), 1e-12)
+                inside = dist2 - radius * radius < 1e-4
+                sin2_max = jnp.clip(radius * radius / dist2, 0.0, 1.0 - 1e-7)
+                cos_max = jnp.sqrt(1.0 - sin2_max)
+                return jnp.where(
+                    inside,
+                    jnp.float32(smp.UNIFORM_SPHERE_PDF),  # crude inside fallback
+                    smp.uniform_cone_pdf(cos_max),
+                )
+
+            def mesh_case():
+                # expected pdf: trace handled by caller hitting the light; we
+                # approximate with dist²/(cosθ·A) using the caller-provided
+                # hit info — computed in the integrator instead. Return 0.
+                return jnp.float32(0.0)
+
+            if g.num_quadrics == 0:
+                return mesh_case()
+            return jax.lax.cond(is_sphere, sphere_case, mesh_case)
+
+        def inf_pdf():
+            has_env = lt.env_id[li] >= 0
+
+            def env_case():
+                wl = w @ lt.w2l[li][:3, :3].T
+                theta = jnp.arccos(jnp.clip(wl[2], -1.0, 1.0))
+                phi = smp_phi(wl)
+                u = phi / (2.0 * jnp.pi)
+                v = theta / jnp.pi
+                p_uv = lt.env_dist.pdf(u, v)
+                return p_uv / jnp.maximum(
+                    2.0 * jnp.pi * jnp.pi * jnp.sin(theta), 1e-9
+                )
+
+            return jax.lax.cond(
+                has_env, env_case, lambda: jnp.float32(smp.UNIFORM_SPHERE_PDF)
+            )
+
+        t = lt.type[li]
+        return jnp.where(
+            t == AREA, area_pdf(), jnp.where(t == INFINITE, inf_pdf(), 0.0)
+        )
+
+    return jax.vmap(one)(light_idx, p, wi)
+
+
+def le_escaped(lt: LightTable, d):
+    """Σ background radiance for escaped rays (R, S)
+    (reference: samplerrenderer.cpp:241-242 summing lights' Le(ray))."""
+    R = d.shape[0]
+    S = lt.emit.shape[-1]
+    total = jnp.zeros((R, S), d.dtype)
+    for li in range(lt.count):
+        # static loop over lights (light count is small and static)
+        def contrib(li=li):
+            is_inf = lt.type[li] == INFINITE
+            has_env = lt.env_id[li] >= 0
+            wl = d @ lt.w2l[li][:3, :3].T
+            env = _env_lookup_dir(lt, wl) * lt.emit[li]
+            const = jnp.broadcast_to(lt.emit[li], (R, S))
+            val = jnp.where(has_env, env, const)
+            return jnp.where(is_inf, val, 0.0)
+
+        total = total + contrib()
+    return total
+
+
+def emitted_radiance(lt: LightTable, light_idx, n_light, wo):
+    """Area-light L(p, n, w) for rays that hit an emissive primitive:
+    one-sided diffuse emission (reference: DiffuseAreaLight::L,
+    lights/diffuse.h:49-52). light_idx/n_light/wo: (R, ...)."""
+    front = geom.dot(n_light, wo) > 0.0
+    li = jnp.maximum(light_idx, 0)
+    return jnp.where(
+        ((light_idx >= 0) & front)[..., None], lt.emit[li], 0.0
+    )
+
+
+def pdf_li_hit(lt: LightTable, g, light_idx, p_shade, wi, t_hit, n_light):
+    """Solid-angle pdf of sample_li generating direction wi toward the
+    emissive prim that a BSDF-sampled ray actually hit (for MIS).
+
+    Triangle area lights: dist²/(|cosθ_l|·A_total). Sphere area lights:
+    uniform-cone pdf. (R,) each."""
+
+    def one(li, pi, w, t, nl):
+        li_s = jnp.maximum(li, 0)
+        is_sphere = lt.shape_kind[li_s] == 1
+
+        def sphere_case():
+            qi = lt.quad_idx[li_s]
+            o2w = g.quad_o2w[qi]
+            center = o2w[:3, 3]
+            radius = g.quad_params[qi, 0] * jnp.linalg.norm(o2w[:3, 0])
+            d = center - pi
+            dist2 = jnp.maximum(jnp.dot(d, d), 1e-12)
+            inside = dist2 - radius * radius < 1e-4
+            sin2_max = jnp.clip(radius * radius / dist2, 0.0, 1.0 - 1e-7)
+            cos_max = jnp.sqrt(1.0 - sin2_max)
+            return jnp.where(
+                inside,
+                jnp.float32(smp.UNIFORM_SPHERE_PDF),
+                smp.uniform_cone_pdf(cos_max),
+            )
+
+        def mesh_case():
+            cos_l = jnp.abs(jnp.dot(nl, -w))
+            return (t * t) / jnp.maximum(
+                cos_l * lt.total_area[li_s], 1e-12
+            )
+
+        if g.num_quadrics == 0:
+            pdf = mesh_case()
+        elif g.num_triangles == 0:
+            pdf = sphere_case()
+        else:
+            pdf = jax.lax.cond(is_sphere, sphere_case, mesh_case)
+        return jnp.where(li >= 0, pdf, 0.0)
+
+    return jax.vmap(one)(light_idx, p_shade, wi, t_hit, n_light)
+
+
+def _env_lookup_dir(lt: LightTable, wl):
+    w = geom.normalize(wl)
+    u = smp_phi(w) / (2.0 * jnp.pi)
+    v = jnp.arccos(jnp.clip(w[..., 2], -1.0, 1.0)) / jnp.pi
+    H, W = lt.env_map.shape[0], lt.env_map.shape[1]
+    x = jnp.clip((u * W).astype(jnp.int32), 0, W - 1)
+    y = jnp.clip((v * H).astype(jnp.int32), 0, H - 1)
+    return lt.env_map[y, x]

@@ -1,0 +1,531 @@
+"""Material system: a closed lobe-composition table, no virtual dispatch.
+
+Reference: src/materials/*.cpp — each material's GetBSDF() assembles 1-4
+BxDF lobes (e.g. plastic = Lambertian(Kd) + Microfacet(Ks, FresnelDielectric,
+Blinn(1/rough)), plastic.cpp:47-60). The fork adds anisoward (Ward BRDF) and
+a ``normalmap`` parameter on every material.
+
+TPU-native design: at scene build, every material instance is compiled into
+rows of a ``MaterialTable`` — SoA parameter arrays plus an explicit **lobe
+list** (up to 4 lobe type codes per material, mirroring pbrt's BSDF::Add
+calls). At render time the wavefront gathers its per-lane parameters and
+evaluates/samples lobes with ``lax.switch`` on the lobe code — pbrt's
+"uniformly pick a matching BxDF, f = Σ lobes, pdf = mean of lobes"
+semantics (reference: BSDF::Sample_f, core/reflection.cpp:531-600),
+vectorized.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pbrt_tpu.bsdf import bxdf
+from pbrt_tpu.core import geometry as geom
+from pbrt_tpu.utils import pytree_dataclass
+
+MAX_LOBES = 4
+
+# material kinds (diagnostic / build-time only)
+(MATTE, PLASTIC, GLASS, MIRROR, METAL, SHINYMETAL, SUBSTRATE, UBER,
+ TRANSLUCENT, ANISOWARD, MEASURED, SUBSURFACE, KDSUBSURFACE, MIXMAT) = range(14)
+
+# lobe type codes (runtime dispatch set)
+(L_LAMBERT, L_ORENNAYAR, L_BLINN_DIEL, L_BLINN_COND, L_FRESNEL_BLEND,
+ L_SPEC_REFL_DIEL, L_SPEC_REFL_NOOP, L_SPEC_REFL_COND, L_SPEC_TRANS,
+ L_WARD, L_LAMBERT_TRANS, L_BLINN_DIEL_TRANS) = range(12)
+
+_DELTA_LOBES = (L_SPEC_REFL_DIEL, L_SPEC_REFL_NOOP, L_SPEC_REFL_COND, L_SPEC_TRANS)
+N_LOBE_TYPES = 12
+
+
+@pytree_dataclass
+class MaterialTable:
+    """(M, ...) SoA. Spectral params are (M, n_bins)."""
+
+    kind: jnp.ndarray  # (M,) i32
+    n_lobes: jnp.ndarray  # (M,) i32
+    lobe_type: jnp.ndarray  # (M, MAX_LOBES) i32, padded with -1
+    kd: jnp.ndarray  # (M, S) diffuse
+    ks: jnp.ndarray  # (M, S) glossy
+    kr: jnp.ndarray  # (M, S) specular reflect
+    kt: jnp.ndarray  # (M, S) specular transmit
+    sigma: jnp.ndarray  # (M,) oren-nayar degrees
+    exp_u: jnp.ndarray  # (M,) blinn/aniso exponent (1/roughness) or ward alpha
+    exp_v: jnp.ndarray  # (M,)
+    eta: jnp.ndarray  # (M,) dielectric ior
+    eta_spec: jnp.ndarray  # (M, S) conductor eta
+    k_spec: jnp.ndarray  # (M, S) conductor k
+    # texture bindings, -1 = constant (resolved by the texture system)
+    kd_tex: jnp.ndarray  # (M,) i32
+    ks_tex: jnp.ndarray  # (M,) i32
+    sigma_tex: jnp.ndarray  # (M,) i32 (float texture)
+    bump_tex: jnp.ndarray  # (M,) i32 (float texture)
+    normal_tex: jnp.ndarray  # (M,) i32 (spectrum texture; fork normalmap)
+
+    @property
+    def count(self) -> int:
+        return self.kind.shape[0]
+
+
+@pytree_dataclass
+class LaneMaterial:
+    """Per-ray gathered material parameters."""
+
+    n_lobes: jnp.ndarray
+    lobe_type: jnp.ndarray  # (R, MAX_LOBES)
+    kd: jnp.ndarray
+    ks: jnp.ndarray
+    kr: jnp.ndarray
+    kt: jnp.ndarray
+    sigma: jnp.ndarray
+    exp_u: jnp.ndarray
+    exp_v: jnp.ndarray
+    eta: jnp.ndarray
+    eta_spec: jnp.ndarray
+    k_spec: jnp.ndarray
+
+
+def gather_lane(mt: MaterialTable, idx) -> LaneMaterial:
+    i = jnp.maximum(idx, 0)
+    return LaneMaterial(
+        n_lobes=mt.n_lobes[i],
+        lobe_type=mt.lobe_type[i],
+        kd=mt.kd[i],
+        ks=mt.ks[i],
+        kr=mt.kr[i],
+        kt=mt.kt[i],
+        sigma=mt.sigma[i],
+        exp_u=mt.exp_u[i],
+        exp_v=mt.exp_v[i],
+        eta=mt.eta[i],
+        eta_spec=mt.eta_spec[i],
+        k_spec=mt.k_spec[i],
+    )
+
+
+# ---------------------------------------------------------------------------
+# Lobe evaluation / pdf / sampling — local frame (ns = +z)
+# ---------------------------------------------------------------------------
+
+
+def _lobe_f(lobe, lm: LaneMaterial, wo, wi):
+    """f of one lobe code, batched. Delta lobes → 0."""
+    s = lm.kd.shape[-1]
+    zero = jnp.zeros(wo.shape[:-1] + (s,), wo.dtype)
+
+    def lamb():
+        return bxdf.lambertian_f(lm.kd, wo, wi) * bxdf.same_hemisphere(wo, wi)[..., None]
+
+    def oren():
+        return bxdf.oren_nayar_f(lm.kd, lm.sigma, wo, wi) * bxdf.same_hemisphere(wo, wi)[..., None]
+
+    def blinn_diel():
+        wh = geom.normalize(wo + wi)
+        f_val = bxdf.fresnel_dielectric(geom.dot(wi, wh), 1.0, lm.eta)[..., None]
+        return bxdf.microfacet_f(lm.ks, f_val, lm.exp_u, wo, wi)
+
+    def blinn_cond():
+        wh = geom.normalize(wo + wi)
+        f_val = bxdf.fresnel_conductor(geom.dot(wi, wh), lm.eta_spec, lm.k_spec)
+        return bxdf.microfacet_f(lm.ks, f_val, lm.exp_u, wo, wi)
+
+    def fres_blend():
+        return bxdf.fresnel_blend_f(lm.kd, lm.ks, lm.exp_u, lm.exp_v, wo, wi)
+
+    def ward():
+        return bxdf.ward_f(lm.ks, lm.exp_u, lm.exp_v, wo, wi)
+
+    def lamb_trans():
+        opposite = ~bxdf.same_hemisphere(wo, wi)
+        return bxdf.lambertian_f(lm.kt, wo, wi) * opposite[..., None]
+
+    def blinn_trans():
+        # translucent glossy transmission: evaluate with wi flipped
+        wif = wi * jnp.asarray([1.0, 1.0, -1.0])
+        wh = geom.normalize(wo + wif)
+        f_val = bxdf.fresnel_dielectric(geom.dot(wif, wh), 1.0, lm.eta)[..., None]
+        opposite = ~bxdf.same_hemisphere(wo, wi)
+        return bxdf.microfacet_f(lm.kr, f_val, lm.exp_u, wo, wif) * opposite[..., None]
+
+    def delta():
+        return zero
+
+    branches = [
+        lamb, oren, blinn_diel, blinn_cond, fres_blend,
+        delta, delta, delta, delta,
+        ward, lamb_trans, blinn_trans,
+    ]
+    return jax.lax.switch(jnp.clip(lobe, 0, N_LOBE_TYPES - 1), branches)
+
+
+def _lobe_pdf(lobe, lm: LaneMaterial, wo, wi):
+    def cos_pdf():
+        return bxdf.cosine_pdf(wo, wi)
+
+    def blinn():
+        return bxdf.blinn_pdf(lm.exp_u, wo, wi)
+
+    def fres_blend():
+        return 0.5 * (bxdf.cosine_pdf(wo, wi) + bxdf.aniso_pdf(lm.exp_u, lm.exp_v, wo, wi))
+
+    def ward():
+        return bxdf.ward_pdf(lm.exp_u, lm.exp_v, wo, wi)
+
+    def lamb_trans():
+        opposite = ~bxdf.same_hemisphere(wo, wi)
+        return jnp.where(opposite, bxdf.abs_cos_theta(wi) * bxdf.INV_PI, 0.0)
+
+    def blinn_trans():
+        wif = wi * jnp.asarray([1.0, 1.0, -1.0])
+        opposite = ~bxdf.same_hemisphere(wo, wi)
+        return jnp.where(opposite, bxdf.blinn_pdf(lm.exp_u, wo, wif), 0.0)
+
+    def zero():
+        return jnp.zeros(wo.shape[:-1], wo.dtype)
+
+    branches = [
+        cos_pdf, cos_pdf, blinn, blinn, fres_blend,
+        zero, zero, zero, zero,
+        ward, lamb_trans, blinn_trans,
+    ]
+    return jax.lax.switch(jnp.clip(lobe, 0, N_LOBE_TYPES - 1), branches)
+
+
+def _lobe_sample(lobe, lm: LaneMaterial, wo, u1, u2):
+    """Sample one lobe. Returns (wi, pdf, f_delta, is_delta).
+
+    For delta lobes f_delta is the full weight spectrum F·k/|cosθ| and
+    pdf = 1 (pbrt convention, reflection.h:298-343); for others f_delta is
+    unused (the caller re-evaluates the full f)."""
+    s = lm.kd.shape[-1]
+    zero_spec = jnp.zeros(wo.shape[:-1] + (s,), wo.dtype)
+
+    def cos_sample():
+        wi, pdf = bxdf.cosine_sample(u1, u2, wo)
+        return wi, pdf, zero_spec, jnp.zeros(wo.shape[:-1], bool)
+
+    def blinn_sample():
+        wi, pdf = bxdf.blinn_sample_wh(lm.exp_u, wo, u1, u2)
+        return wi, pdf, zero_spec, jnp.zeros(wo.shape[:-1], bool)
+
+    def fres_blend_sample():
+        use_diff = u1 < 0.5
+        u1r = jnp.where(use_diff, u1 * 2.0, (u1 - 0.5) * 2.0)
+        wi_d, _ = bxdf.cosine_sample(u1r, u2, wo)
+        wi_s, _ = bxdf.aniso_sample_wh(lm.exp_u, lm.exp_v, wo, u1r, u2)
+        wi = jnp.where(use_diff[..., None], wi_d, wi_s)
+        pdf = 0.5 * (
+            bxdf.cosine_pdf(wo, wi) + bxdf.aniso_pdf(lm.exp_u, lm.exp_v, wo, wi)
+        )
+        return wi, pdf, zero_spec, jnp.zeros(wo.shape[:-1], bool)
+
+    def ward_sample():
+        wi, pdf = bxdf.ward_sample(lm.exp_u, lm.exp_v, wo, u1, u2)
+        return wi, pdf, zero_spec, jnp.zeros(wo.shape[:-1], bool)
+
+    def spec_refl(fresnel_kind):
+        def fn():
+            wi = bxdf.specular_reflect_dir(wo)
+            ci = bxdf.cos_theta(wi)
+            if fresnel_kind == "diel":
+                F = bxdf.fresnel_dielectric(ci, 1.0, lm.eta)[..., None]
+            elif fresnel_kind == "cond":
+                F = bxdf.fresnel_conductor(ci, lm.eta_spec, lm.k_spec)
+            else:
+                F = 1.0
+            f = lm.kr * F / jnp.maximum(bxdf.abs_cos_theta(wi), 1e-8)[..., None]
+            return (
+                wi,
+                jnp.ones(wo.shape[:-1], wo.dtype),
+                f,
+                jnp.ones(wo.shape[:-1], bool),
+            )
+
+        return fn
+
+    def spec_trans():
+        wi, valid, eta_ratio = bxdf.specular_transmit_dir(wo, 1.0, lm.eta)
+        F = bxdf.fresnel_dielectric(bxdf.cos_theta(wo), 1.0, lm.eta)[..., None]
+        # radiance scaling (ei²/et²) for transmission (reflection.cpp:489)
+        f = (
+            (eta_ratio**2)[..., None]
+            * lm.kt
+            * (1.0 - F)
+            / jnp.maximum(bxdf.abs_cos_theta(wi), 1e-8)[..., None]
+        )
+        f = jnp.where(valid[..., None], f, 0.0)
+        pdf = jnp.where(valid, 1.0, 0.0)
+        return wi, pdf, f, jnp.ones(wo.shape[:-1], bool)
+
+    def lamb_trans_sample():
+        wi, pdf = bxdf.cosine_sample(u1, u2, wo)
+        wi = wi * jnp.asarray([1.0, 1.0, -1.0])  # flip to other hemisphere
+        return wi, pdf, zero_spec, jnp.zeros(wo.shape[:-1], bool)
+
+    def blinn_trans_sample():
+        wi, pdf = bxdf.blinn_sample_wh(lm.exp_u, wo, u1, u2)
+        wi = wi * jnp.asarray([1.0, 1.0, -1.0])
+        return wi, pdf, zero_spec, jnp.zeros(wo.shape[:-1], bool)
+
+    branches = [
+        cos_sample, cos_sample, blinn_sample, blinn_sample, fres_blend_sample,
+        spec_refl("diel"), spec_refl("noop"), spec_refl("cond"), spec_trans,
+        ward_sample, lamb_trans_sample, blinn_trans_sample,
+    ]
+    return jax.lax.switch(jnp.clip(lobe, 0, N_LOBE_TYPES - 1), branches)
+
+
+# ---------------------------------------------------------------------------
+# BSDF-level interface (pbrt BSDF::f / Pdf / Sample_f semantics)
+# ---------------------------------------------------------------------------
+
+
+def _bsdf_f_one(lm: LaneMaterial, wo, wi):
+    """Per-lane Σ over the material's lobes. Local frame, wo/wi (3,)."""
+    s = lm.kd.shape[-1]
+    f = jnp.zeros((s,), wo.dtype)
+    for slot in range(MAX_LOBES):
+        active = slot < lm.n_lobes
+        lobe = jnp.maximum(lm.lobe_type[slot], 0)
+        f = f + jnp.where(active, _lobe_f(lobe, lm, wo, wi), 0.0)
+    return f
+
+
+def _bsdf_pdf_one(lm: LaneMaterial, wo, wi):
+    pdf = jnp.zeros((), wo.dtype)
+    for slot in range(MAX_LOBES):
+        active = slot < lm.n_lobes
+        lobe = jnp.maximum(lm.lobe_type[slot], 0)
+        pdf = pdf + jnp.where(active, _lobe_pdf(lobe, lm, wo, wi), 0.0)
+    return pdf / jnp.maximum(lm.n_lobes.astype(wo.dtype), 1.0)
+
+
+def _bsdf_sample_one(lm: LaneMaterial, wo, u_lobe, u1, u2):
+    n = jnp.maximum(lm.n_lobes, 1)
+    slot = jnp.minimum((u_lobe * n.astype(u_lobe.dtype)).astype(jnp.int32), n - 1)
+    lobe = jnp.maximum(lm.lobe_type[slot], 0)
+    wi, pdf_s, f_delta, is_delta = _lobe_sample(lobe, lm, wo, u1, u2)
+    nf = n.astype(wo.dtype)
+    f_smooth = _bsdf_f_one(lm, wo, wi)
+    pdf_smooth = _bsdf_pdf_one(lm, wo, wi)
+    f = jnp.where(is_delta, f_delta, f_smooth)
+    pdf = jnp.where(is_delta, pdf_s / nf, pdf_smooth)
+    return wi, f, pdf, is_delta
+
+
+def bsdf_f(lm: LaneMaterial, wo, wi):
+    """Batched Σ over the material's lobes (R, S). Local frame.
+    (reference: BSDF::f, core/reflection.cpp:517-529)."""
+    return jax.vmap(_bsdf_f_one)(lm, wo, wi)
+
+
+def bsdf_pdf(lm: LaneMaterial, wo, wi):
+    """Mean of lobe pdfs (reference: BSDF::Pdf, reflection.cpp:602-612)."""
+    return jax.vmap(_bsdf_pdf_one)(lm, wo, wi)
+
+
+def bsdf_sample(lm: LaneMaterial, wo, u_lobe, u1, u2):
+    """pbrt BSDF::Sample_f: uniformly pick a lobe, sample it; for non-delta
+    lobes re-evaluate f and pdf over ALL lobes
+    (reference: core/reflection.cpp:531-600). Returns (wi, f, pdf, is_delta)."""
+    return jax.vmap(_bsdf_sample_one)(lm, wo, u_lobe, u1, u2)
+
+
+def has_delta_only(lm: LaneMaterial):
+    """True when every lobe is specular (glass/mirror) — NEE skips these."""
+    all_delta = jnp.ones(lm.n_lobes.shape, bool)
+    for slot in range(MAX_LOBES):
+        active = slot < lm.n_lobes
+        lobe = lm.lobe_type[..., slot]
+        is_d = jnp.isin(lobe, jnp.asarray(_DELTA_LOBES))
+        all_delta = all_delta & (is_d | ~active)
+    return all_delta
+
+
+# ---------------------------------------------------------------------------
+# Host-side table construction from MaterialRecords
+# ---------------------------------------------------------------------------
+
+# Approximate copper eta/k (Johnson & Christy 1972 order of magnitude),
+# the reference defaults metal to measured copper tables (metal.cpp:30-80).
+_COPPER_LAM = [400.0, 450.0, 500.0, 550.0, 600.0, 650.0, 700.0]
+_COPPER_N = [1.18, 1.15, 1.12, 0.79, 0.37, 0.23, 0.21]
+_COPPER_K = [2.21, 2.40, 2.60, 2.78, 3.27, 3.64, 4.05]
+
+
+def build_material_table(records, config, texture_index=None) -> MaterialTable:
+    """records: list of MaterialRecord (scene/api.py). texture_index: dict
+    name → (kind, id) for resolving texture refs (may be None round 1)."""
+    from pbrt_tpu.core import spectrum as spec
+
+    S = config.n_bins
+    M = max(len(records), 1)
+    z = lambda: np.zeros((M, S), np.float32)
+    kind = np.zeros(M, np.int32)
+    n_lobes = np.zeros(M, np.int32)
+    lobe_type = np.full((M, MAX_LOBES), -1, np.int32)
+    kd, ks, kr, kt = z(), z(), z(), z()
+    sigma = np.zeros(M, np.float32)
+    exp_u = np.ones(M, np.float32)
+    exp_v = np.ones(M, np.float32)
+    eta = np.full(M, 1.5, np.float32)
+    eta_spec = np.ones((M, S), np.float32)
+    k_spec = np.zeros((M, S), np.float32)
+    kd_tex = np.full(M, -1, np.int32)
+    ks_tex = np.full(M, -1, np.int32)
+    sigma_tex = np.full(M, -1, np.int32)
+    bump_tex = np.full(M, -1, np.int32)
+    normal_tex = np.full(M, -1, np.int32)
+
+    def tex_id(rec, pname, data_type="spectrum"):
+        if texture_index is None:
+            return -1
+        tname = rec.params.find_texture(pname)
+        if tname is None:
+            return -1
+        return texture_index.get((data_type, tname), -1)
+
+    for i, rec in enumerate(records):
+        p = rec.params
+        mt = rec.mat_type
+        lobes = []
+        kd_tex[i] = tex_id(rec, "Kd")
+        ks_tex[i] = tex_id(rec, "Ks")
+        if texture_index is not None:
+            bump_tex[i] = tex_id(rec, "bumpmap", "float")
+            normal_tex[i] = tex_id(rec, "normalmap")
+        if mt == "matte":
+            kind[i] = MATTE
+            kd[i] = p.find_one_spectrum("Kd", 0.5)
+            sigma[i] = p.find_one_float("sigma", 0.0)
+            lobes.append(L_ORENNAYAR if sigma[i] != 0.0 else L_LAMBERT)
+        elif mt == "plastic":
+            kind[i] = PLASTIC
+            kd[i] = p.find_one_spectrum("Kd", 0.25)
+            ks[i] = p.find_one_spectrum("Ks", 0.25)
+            rough = p.find_one_float("roughness", 0.1)
+            exp_u[i] = exp_v[i] = 1.0 / max(rough, 1e-4)
+            eta[i] = 1.5
+            if kd[i].any() or kd_tex[i] >= 0:
+                lobes.append(L_LAMBERT)
+            if ks[i].any() or ks_tex[i] >= 0:
+                lobes.append(L_BLINN_DIEL)
+        elif mt == "glass":
+            kind[i] = GLASS
+            kr[i] = p.find_one_spectrum("Kr", 1.0)
+            kt[i] = p.find_one_spectrum("Kt", 1.0)
+            eta[i] = p.find_one_float("index", 1.5)
+            if kr[i].any():
+                lobes.append(L_SPEC_REFL_DIEL)
+            if kt[i].any():
+                lobes.append(L_SPEC_TRANS)
+        elif mt == "mirror":
+            kind[i] = MIRROR
+            kr[i] = p.find_one_spectrum("Kr", 0.9)
+            if kr[i].any():
+                lobes.append(L_SPEC_REFL_NOOP)
+        elif mt == "metal":
+            kind[i] = METAL
+            ks[i] = 1.0
+            eta_spec[i] = p.find_one_spectrum(
+                "eta", spec.from_sampled(_COPPER_LAM, _COPPER_N, config)
+            )
+            k_spec[i] = p.find_one_spectrum(
+                "k", spec.from_sampled(_COPPER_LAM, _COPPER_K, config)
+            )
+            rough = p.find_one_float("roughness", 0.01)
+            exp_u[i] = exp_v[i] = 1.0 / max(rough, 1e-4)
+            lobes.append(L_BLINN_COND)
+        elif mt == "shinymetal":
+            kind[i] = SHINYMETAL
+            ks[i] = p.find_one_spectrum("Ks", 1.0)
+            kr[i] = p.find_one_spectrum("Kr", 1.0)
+            rough = p.find_one_float("roughness", 0.1)
+            exp_u[i] = exp_v[i] = 1.0 / max(rough, 1e-4)
+            # FresnelApproxEta: eta = (1+√R)/(1-√R) (reference: reflection.h:70)
+            sr = np.sqrt(np.clip(ks[i], 0.0, 0.999))
+            eta_spec[i] = (1.0 + sr) / (1.0 - sr)
+            k_spec[i] = 0.0
+            ksv = ks[i].copy()
+            ks[i] = 1.0  # fresnel carries the color
+            if ksv.any():
+                lobes.append(L_BLINN_COND)
+            if kr[i].any():
+                lobes.append(L_SPEC_REFL_COND)
+        elif mt == "substrate":
+            kind[i] = SUBSTRATE
+            kd[i] = p.find_one_spectrum("Kd", 0.5)
+            ks[i] = p.find_one_spectrum("Ks", 0.5)
+            ur = p.find_one_float("uroughness", 0.1)
+            vr = p.find_one_float("vroughness", 0.1)
+            exp_u[i] = 1.0 / max(ur, 1e-4)
+            exp_v[i] = 1.0 / max(vr, 1e-4)
+            lobes.append(L_FRESNEL_BLEND)
+        elif mt == "uber":
+            kind[i] = UBER
+            kd[i] = p.find_one_spectrum("Kd", 0.25)
+            ks[i] = p.find_one_spectrum("Ks", 0.25)
+            kr[i] = p.find_one_spectrum("Kr", 0.0)
+            kt_u = p.find_one_spectrum("Kt", 0.0)
+            kt[i] = kt_u
+            rough = p.find_one_float("roughness", 0.1)
+            exp_u[i] = exp_v[i] = 1.0 / max(rough, 1e-4)
+            eta[i] = p.find_one_float("index", 1.5)
+            if kd[i].any() or kd_tex[i] >= 0:
+                lobes.append(L_LAMBERT)
+            if ks[i].any() or ks_tex[i] >= 0:
+                lobes.append(L_BLINN_DIEL)
+            if kr[i].any():
+                lobes.append(L_SPEC_REFL_DIEL)
+            if kt_u.any():
+                lobes.append(L_SPEC_TRANS)
+        elif mt == "translucent":
+            kind[i] = TRANSLUCENT
+            base_kd = p.find_one_spectrum("Kd", 0.25)
+            base_ks = p.find_one_spectrum("Ks", 0.25)
+            refl = p.find_one_spectrum("reflect", 0.5)
+            trans = p.find_one_spectrum("transmit", 0.5)
+            rough = p.find_one_float("roughness", 0.1)
+            exp_u[i] = exp_v[i] = 1.0 / max(rough, 1e-4)
+            kd[i] = base_kd * refl
+            ks[i] = base_ks * refl
+            kt[i] = base_kd * trans  # diffuse transmission
+            kr[i] = base_ks * trans  # glossy transmission (see L_BLINN_DIEL_TRANS)
+            if kd[i].any():
+                lobes.append(L_LAMBERT)
+            if ks[i].any():
+                lobes.append(L_BLINN_DIEL)
+            if kt[i].any():
+                lobes.append(L_LAMBERT_TRANS)
+            if kr[i].any():
+                lobes.append(L_BLINN_DIEL_TRANS)
+        elif mt == "anisoward":
+            kind[i] = ANISOWARD
+            kd[i] = p.find_one_spectrum("Kd", 0.25)
+            ks[i] = p.find_one_spectrum("Ks", 0.25)
+            exp_u[i] = p.find_one_float("alphaU", 0.1)
+            exp_v[i] = p.find_one_float("alphaV", 0.1)
+            lobes.append(L_LAMBERT)
+            lobes.append(L_WARD)
+        else:
+            # unknown / not-yet-supported (measured, subsurface, mix):
+            # degrade to matte 0.5 like pbrt warns+falls back (api.cpp:373)
+            kind[i] = MATTE
+            kd[i] = p.find_one_spectrum("Kd", 0.5)
+            lobes.append(L_LAMBERT)
+        if not lobes:
+            lobes.append(L_LAMBERT)
+        n_lobes[i] = len(lobes)
+        lobe_type[i, : len(lobes)] = lobes
+
+    f = jnp.asarray
+    return MaterialTable(
+        kind=f(kind), n_lobes=f(n_lobes), lobe_type=f(lobe_type),
+        kd=f(kd), ks=f(ks), kr=f(kr), kt=f(kt),
+        sigma=f(sigma), exp_u=f(exp_u), exp_v=f(exp_v), eta=f(eta),
+        eta_spec=f(eta_spec), k_spec=f(k_spec),
+        kd_tex=f(kd_tex), ks_tex=f(ks_tex), sigma_tex=f(sigma_tex),
+        bump_tex=f(bump_tex), normal_tex=f(normal_tex),
+    )

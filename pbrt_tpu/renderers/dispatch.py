@@ -1,0 +1,61 @@
+"""Renderer dispatch + output writing.
+
+Reference: RenderOptions::MakeRenderer (api.cpp:1333-1420) selecting
+sampler / spectralrenderer / cameras / metropolis / aggregatetest /
+surfacepoints / createprobes renderers, and the film WriteImage call at the
+end of each Render().
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from pbrt_tpu.film import film as film_mod
+
+
+def render_scene(built, spp=None, seed=0, quick=False, verbose=True, outfile=None):
+    """Run the scene's configured renderer; write outputs; return paths."""
+    name = built.renderer_name
+    if name in ("spectral", "spectralrenderer"):
+        from pbrt_tpu.renderers.spectral import render_spectral
+
+        state = render_spectral(
+            built, spp=spp, seed=seed, quick=quick, verbose=verbose
+        )
+    else:
+        from pbrt_tpu.renderers.sampler import render
+
+        state = render(built, spp=spp, seed=seed, quick=quick, verbose=verbose)
+    return write_outputs(built, state, outfile)
+
+
+def write_outputs(built, state, outfile=None):
+    """Write the film in the format its filename implies: .dat spectral
+    planes (fork behavior) plus an RGB preview for convenience."""
+    cfg = built.film_config
+    filename = outfile or cfg.filename
+    outputs = []
+    base, ext = os.path.splitext(filename)
+    if ext in ("", ".dat"):
+        outputs.append(film_mod.write_dat(state, cfg, base + ".dat"))
+        rgb = film_mod.to_rgb_image(state, cfg)
+        from pbrt_tpu.film.imageio import write_exr
+
+        outputs.append(write_exr(base + ".exr", rgb))
+    elif ext == ".exr":
+        rgb = film_mod.to_rgb_image(state, cfg)
+        from pbrt_tpu.film.imageio import write_exr
+
+        outputs.append(write_exr(filename, rgb))
+        outputs.append(film_mod.write_dat(state, cfg, base + ".dat"))
+    elif ext == ".pfm":
+        rgb = film_mod.to_rgb_image(state, cfg)
+        outputs.append(film_mod.write_pfm(filename, rgb))
+    else:
+        from pbrt_tpu.film.imageio import write_image
+
+        rgb = film_mod.to_rgb_image(state, cfg)
+        outputs.append(write_image(filename, rgb))
+    return outputs

@@ -1,0 +1,559 @@
+"""Scene flattener: SceneDescription → device-ready RenderScene.
+
+Reference flow: pbrtWorldEnd → RenderOptions::MakeScene (BVH over all
+primitives, api.cpp:1309-1330) + MakeRenderer (camera/film/sampler/
+integrator assembly, api.cpp:1333-1440).
+
+TPU-native design: all shapes are refined on host (numpy) into one
+world-space triangle soup + quadric table, materials dedupe into a
+MaterialTable, area lights link light rows to geometry ranges, and a SAH
+BVH is built over everything and shipped to the device as SoA arrays.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import warnings
+
+import jax.numpy as jnp
+import numpy as np
+
+from pbrt_tpu.accel import bvh as bvh_mod
+from pbrt_tpu.accel.intersect import (
+    CONE, CYLINDER, DISK, HYPERBOLOID, PARABOLOID, SPHERE, SceneGeometry,
+)
+from pbrt_tpu.cameras.cameras import make_camera
+from pbrt_tpu.core import sampling as smp
+from pbrt_tpu.core import transform as xf
+from pbrt_tpu.core.filters import make_filter
+from pbrt_tpu.core.transform import AnimatedTransform
+from pbrt_tpu.film.film import FilmConfig
+from pbrt_tpu.integrators.path import IntegratorConfig, RenderScene
+from pbrt_tpu.lights import table as lt_mod
+from pbrt_tpu.materials.table import build_material_table
+from pbrt_tpu.scene.api import SceneDescription, ShapeRecord
+from pbrt_tpu.shapes.loopsubdiv import refine_loopsubdiv
+from pbrt_tpu.shapes.mesh import MeshData, compute_vertex_normals, make_heightfield, make_mesh
+
+_QUADRIC_TYPES = {
+    "sphere": SPHERE,
+    "cylinder": CYLINDER,
+    "disk": DISK,
+    "cone": CONE,
+    "paraboloid": PARABOLOID,
+    "hyperboloid": HYPERBOLOID,
+}
+
+
+@dataclasses.dataclass
+class BuiltScene:
+    """Everything render.py needs."""
+
+    scene: RenderScene
+    camera: object
+    film_config: FilmConfig
+    filter_table: np.ndarray
+    sampler_name: str
+    pixel_samples: int
+    integrator: IntegratorConfig
+    renderer_name: str
+    renderer_params: object
+    description: SceneDescription
+
+
+def _refine_shape(rec: ShapeRecord, o2w: np.ndarray) -> MeshData | None:
+    st = rec.shape_type
+    if st == "trianglemesh":
+        return make_mesh(rec.params, o2w, rec.reverse_orientation)
+    if st == "loopsubdiv":
+        return refine_loopsubdiv(rec.params, o2w, rec.reverse_orientation)
+    if st == "heightfield":
+        return make_heightfield(rec.params, o2w, rec.reverse_orientation)
+    return None
+
+
+def _quadric_params(rec: ShapeRecord) -> np.ndarray:
+    p = rec.params
+    prm = np.zeros(8, np.float32)
+    st = rec.shape_type
+    if st == "sphere":
+        r = p.find_one_float("radius", 1.0)
+        prm[0] = r
+        prm[1] = p.find_one_float("zmin", -r)
+        prm[2] = p.find_one_float("zmax", r)
+        prm[3] = np.deg2rad(p.find_one_float("phimax", 360.0))
+    elif st == "cylinder":
+        prm[0] = p.find_one_float("radius", 1.0)
+        prm[1] = p.find_one_float("zmin", -1.0)
+        prm[2] = p.find_one_float("zmax", 1.0)
+        prm[3] = np.deg2rad(p.find_one_float("phimax", 360.0))
+    elif st == "disk":
+        prm[0] = p.find_one_float("radius", 1.0)
+        prm[3] = np.deg2rad(p.find_one_float("phimax", 360.0))
+        prm[4] = p.find_one_float("height", 0.0)
+        prm[5] = p.find_one_float("innerradius", 0.0)
+    elif st == "cone":
+        prm[0] = p.find_one_float("radius", 1.0)
+        prm[3] = np.deg2rad(p.find_one_float("phimax", 360.0))
+        prm[4] = p.find_one_float("height", 1.0)
+        prm[1], prm[2] = 0.0, prm[4]
+    elif st == "paraboloid":
+        prm[0] = p.find_one_float("radius", 1.0)
+        prm[1] = p.find_one_float("zmin", 0.0)
+        prm[2] = p.find_one_float("zmax", 1.0)
+        prm[3] = np.deg2rad(p.find_one_float("phimax", 360.0))
+        prm[4] = prm[2]
+    elif st == "hyperboloid":
+        # simplified canonical form; full two-point form is a TODO
+        prm[0] = 1.0
+        prm[1] = p.find_one_float("zmin", -1.0)
+        prm[2] = p.find_one_float("zmax", 1.0)
+        prm[3] = np.deg2rad(p.find_one_float("phimax", 360.0))
+        prm[6], prm[7] = 1.0, 1.0
+    return prm
+
+
+def _quadric_bounds(qtype: int, prm: np.ndarray, o2w: np.ndarray):
+    r = float(prm[0])
+    if qtype == SPHERE:
+        lo = np.array([-r, -r, prm[1]])
+        hi = np.array([r, r, prm[2]])
+    elif qtype == CYLINDER:
+        lo = np.array([-r, -r, prm[1]])
+        hi = np.array([r, r, prm[2]])
+    elif qtype == DISK:
+        lo = np.array([-r, -r, prm[4] - 1e-4])
+        hi = np.array([r, r, prm[4] + 1e-4])
+    elif qtype == CONE:
+        lo = np.array([-r, -r, 0.0])
+        hi = np.array([r, r, prm[4]])
+    elif qtype == PARABOLOID:
+        lo = np.array([-r, -r, min(prm[1], prm[2])])
+        hi = np.array([r, r, max(prm[1], prm[2])])
+    else:
+        m = max(r, abs(prm[1]), abs(prm[2])) * 2.0
+        lo = np.array([-m, -m, prm[1]])
+        hi = np.array([m, m, prm[2]])
+    return xf.apply_bbox(o2w, lo, hi)
+
+
+def _triangle_areas(v0, e1, e2):
+    return 0.5 * np.linalg.norm(np.cross(e1, e2), axis=-1)
+
+
+def build(desc: SceneDescription) -> BuiltScene:
+    cfg = desc.spectral_config
+    S = cfg.n_bins
+
+    # --- expand object instances into plain shape records -----------------
+    shape_records: list[tuple[ShapeRecord, np.ndarray]] = []
+    for rec in desc.shapes:
+        shape_records.append((rec, rec.object_to_world.m[0]))
+    for inst in desc.instances:
+        for rec in desc.objects.get(inst.name, []):
+            o2w = inst.instance_to_world.m[0] @ rec.object_to_world.m[0]
+            shape_records.append((rec, o2w))
+
+    # --- materials: dedupe by identity -------------------------------------
+    mat_records = []
+    mat_index: dict[int, int] = {}
+    def mat_id_for(m):
+        if id(m) not in mat_index:
+            mat_index[id(m)] = len(mat_records)
+            mat_records.append(m)
+        return mat_index[id(m)]
+
+    # --- flatten geometry ---------------------------------------------------
+    tri_v0 = []
+    tri_e1 = []
+    tri_e2 = []
+    tri_n = []  # (n0, n1, n2)
+    tri_uv = []
+    tri_mat = []
+    tri_al = []
+    tri_mid = []
+    quads = []  # dicts
+    # area lights: (emit spectrum, nsamples, linkage)
+    area_lights = []
+
+    for rec, o2w in shape_records:
+        mat_i = mat_id_for(rec.material)
+        al_id = -1
+        if rec.area_light is not None:
+            al_id = len(area_lights)
+        mesh = _refine_shape(rec, o2w)
+        if mesh is not None:
+            start = sum(len(v) for v in tri_v0)
+            idx = mesh.indices
+            p = mesh.positions
+            v0 = p[idx[:, 0]]
+            v1 = p[idx[:, 1]]
+            v2 = p[idx[:, 2]]
+            e1 = v1 - v0
+            e2 = v2 - v0
+            if mesh.normals is not None:
+                n0, n1, n2 = (
+                    mesh.normals[idx[:, 0]],
+                    mesh.normals[idx[:, 1]],
+                    mesh.normals[idx[:, 2]],
+                )
+            else:
+                fn = np.cross(e1, e2)
+                fn /= np.maximum(np.linalg.norm(fn, axis=-1, keepdims=True), 1e-20)
+                if rec.reverse_orientation:
+                    fn = -fn
+                n0 = n1 = n2 = fn
+            if mesh.uvs is not None:
+                uv0, uv1, uv2 = (
+                    mesh.uvs[idx[:, 0]],
+                    mesh.uvs[idx[:, 1]],
+                    mesh.uvs[idx[:, 2]],
+                )
+            else:
+                z = np.zeros((len(idx), 2), np.float32)
+                uv0 = z
+                uv1 = z + [1.0, 0.0]
+                uv2 = z + [1.0, 1.0]
+            count = len(idx)
+            tri_v0.append(v0.astype(np.float32))
+            tri_e1.append(e1.astype(np.float32))
+            tri_e2.append(e2.astype(np.float32))
+            tri_n.append((n0.astype(np.float32), n1.astype(np.float32), n2.astype(np.float32)))
+            tri_uv.append((uv0, uv1, uv2))
+            tri_mat.append(np.full(count, mat_i, np.int32))
+            tri_al.append(np.full(count, al_id, np.int32))
+            tri_mid.append(np.full(count, rec.primitive_id, np.int32))
+            if al_id >= 0:
+                areas = _triangle_areas(v0, e1, e2)
+                area_lights.append(
+                    dict(
+                        rec=rec,
+                        kind="mesh",
+                        tri_start=start,
+                        tri_count=count,
+                        areas=areas,
+                    )
+                )
+        elif rec.shape_type in _QUADRIC_TYPES:
+            qtype = _QUADRIC_TYPES[rec.shape_type]
+            prm = _quadric_params(rec)
+            reverse = rec.reverse_orientation ^ xf.swaps_handedness(o2w)
+            qi = len(quads)
+            quads.append(
+                dict(
+                    type=qtype,
+                    o2w=o2w.astype(np.float64),
+                    params=prm,
+                    mat=mat_i,
+                    al=al_id,
+                    mid=rec.primitive_id,
+                    reverse=reverse,
+                )
+            )
+            if al_id >= 0:
+                area_lights.append(dict(rec=rec, kind="quad", quad_idx=qi))
+        else:
+            warnings.warn(f"shape {rec.shape_type!r} not supported yet; skipped")
+            if al_id >= 0:
+                area_lights.append(None)  # keep ids aligned
+
+    def cat(parts, width=None, dtype=np.float32):
+        if parts:
+            return np.concatenate(parts, axis=0).astype(dtype)
+        return np.zeros((0,) + ((width,) if width else ()), dtype)
+
+    v0 = cat(tri_v0, 3)
+    e1 = cat(tri_e1, 3)
+    e2 = cat(tri_e2, 3)
+    if tri_n:
+        n0 = np.concatenate([t[0] for t in tri_n])
+        n1 = np.concatenate([t[1] for t in tri_n])
+        n2 = np.concatenate([t[2] for t in tri_n])
+        uv0 = np.concatenate([t[0] for t in tri_uv]).astype(np.float32)
+        uv1 = np.concatenate([t[1] for t in tri_uv]).astype(np.float32)
+        uv2 = np.concatenate([t[2] for t in tri_uv]).astype(np.float32)
+    else:
+        n0 = n1 = n2 = np.zeros((0, 3), np.float32)
+        uv0 = uv1 = uv2 = np.zeros((0, 2), np.float32)
+    T = len(v0)
+    Q = len(quads)
+
+    # --- BVH ----------------------------------------------------------------
+    lo_t = np.minimum(np.minimum(v0, v0 + e1), v0 + e2) if T else np.zeros((0, 3))
+    hi_t = np.maximum(np.maximum(v0, v0 + e1), v0 + e2) if T else np.zeros((0, 3))
+    lo_q = np.zeros((Q, 3))
+    hi_q = np.zeros((Q, 3))
+    for i, q in enumerate(quads):
+        lo_q[i], hi_q[i] = _quadric_bounds(q["type"], q["params"], q["o2w"])
+    lo = np.concatenate([lo_t, lo_q])
+    hi = np.concatenate([hi_t, hi_q])
+    accel_name = desc.accelerator[0]
+    method = {"bvh": "sah", "kdtree": "sah", "grid": "middle"}.get(accel_name, "sah")
+    split = desc.accelerator[1].find_one_string("splitmethod", "sah")
+    if split in ("middle", "equal"):
+        method = split
+    tree = bvh_mod.build_bvh(lo, hi, method=method)
+    world_lo = lo.min(axis=0) if len(lo) else np.zeros(3)
+    world_hi = hi.max(axis=0) if len(hi) else np.ones(3)
+
+    f32 = lambda a: jnp.asarray(np.asarray(a, np.float32))
+    i32 = lambda a: jnp.asarray(np.asarray(a, np.int32))
+    geometry = SceneGeometry(
+        tri_v0=f32(v0), tri_e1=f32(e1), tri_e2=f32(e2),
+        tri_n0=f32(n0), tri_n1=f32(n1), tri_n2=f32(n2),
+        tri_uv0=f32(uv0), tri_uv1=f32(uv1), tri_uv2=f32(uv2),
+        tri_material=i32(cat(tri_mat, dtype=np.int32)),
+        tri_area_light=i32(cat(tri_al, dtype=np.int32)),
+        tri_mesh_id=i32(cat(tri_mid, dtype=np.int32)),
+        quad_type=i32([q["type"] for q in quads]),
+        quad_o2w=f32(np.asarray([q["o2w"] for q in quads]).reshape(Q, 4, 4)),
+        quad_w2o=f32(
+            np.asarray([np.linalg.inv(q["o2w"]) for q in quads]).reshape(Q, 4, 4)
+        ),
+        quad_params=f32(np.asarray([q["params"] for q in quads]).reshape(Q, 8)),
+        quad_material=i32([q["mat"] for q in quads]),
+        quad_area_light=i32([q["al"] for q in quads]),
+        quad_mesh_id=i32([q["mid"] for q in quads]),
+        quad_reverse=jnp.asarray([bool(q["reverse"]) for q in quads], bool),
+        node_lo=f32(tree.node_lo), node_hi=f32(tree.node_hi),
+        node_second=i32(tree.node_second), node_count=i32(tree.node_count),
+        node_axis=i32(tree.node_axis), prim_order=i32(tree.prim_order),
+        world_lo=f32(world_lo), world_hi=f32(world_hi),
+    )
+
+    # --- lights -------------------------------------------------------------
+    lights = _build_lights(desc, area_lights, world_lo, world_hi, cfg)
+
+    materials = build_material_table(mat_records, cfg)
+
+    scene = RenderScene(geometry=geometry, materials=materials, lights=lights)
+
+    # --- film / camera / sampler / integrator -------------------------------
+    film_name, film_params = desc.film
+    filt = make_filter(
+        desc.filter[0],
+        {k: v[1][0] for k, v in desc.filter[1].entries.items() if v[1]},
+    )
+    crop = film_params.find_floats("cropwindow")
+    film_cfg = FilmConfig(
+        xres=film_params.find_one_int("xresolution", 640),
+        yres=film_params.find_one_int("yresolution", 480),
+        n_bins=S,
+        filter=filt,
+        crop=tuple(crop) if crop is not None else (0.0, 1.0, 0.0, 1.0),
+        filename=film_params.find_one_string("filename", "pbrt.dat"),
+    )
+    cam_name, cam_params, cam2world_ts, times = desc.camera
+    cam2world = AnimatedTransform.from_matrices(
+        cam2world_ts.m[0], cam2world_ts.m[1], times[0], times[1]
+    )
+    camera = make_camera(cam_name, cam_params, cam2world, film_cfg)
+    film_cfg = dataclasses.replace(
+        film_cfg,
+        fov=getattr(camera, "fov_deg", 0.0),
+        focal_length=getattr(camera, "focal_length_mm", 0.0),
+        f_stop=getattr(camera, "f_stop", 0.0),
+    )
+
+    sampler_name, sampler_params = desc.sampler
+    spp = sampler_params.find_one_int("pixelsamples", 4)
+
+    integ_name, integ_params = desc.surface_integrator
+    ikind = {
+        "path": "path",
+        "directlighting": "directlighting",
+        "whitted": "whitted",
+        "ambientocclusion": "ambientocclusion",
+        "metadata": "metadata",
+    }.get(integ_name, "path")
+    integrator = IntegratorConfig(
+        kind=ikind,
+        max_depth=integ_params.find_one_int("maxdepth", 5),
+        strategy=integ_params.find_one_string("strategy", "all"),
+        ao_nsamples=integ_params.find_one_int("nsamples", 4),
+        ao_maxdist=integ_params.find_one_float("maxdist", 1e30),
+        metadata_channel=integ_params.find_one_string("strategy", "depth"),
+        n_bins=S,
+    )
+
+    return BuiltScene(
+        scene=scene,
+        camera=camera,
+        film_config=film_cfg,
+        filter_table=filt.table(),
+        sampler_name=sampler_name,
+        pixel_samples=spp,
+        integrator=integrator,
+        renderer_name=desc.renderer[0],
+        renderer_params=desc.renderer[1],
+        description=desc,
+    )
+
+
+def _build_lights(desc, area_lights, world_lo, world_hi, cfg):
+    S = cfg.n_bins
+    center = 0.5 * (world_lo + world_hi)
+    radius = float(np.linalg.norm(world_hi - world_lo) * 0.5 + 1e-6)
+
+    rows = []  # per-light dict
+    for rec in desc.lights:
+        p = rec.params
+        l2w = rec.light_to_world
+        t = rec.light_type
+        if t == "point":
+            I = p.find_one_spectrum("I", 1.0, "illuminant") * p.find_one_float(
+                "scale", 1.0
+            )
+            frm = p.find_one_point("from", (0.0, 0.0, 0.0))
+            pos = frm @ l2w[:3, :3].T + l2w[:3, 3]
+            rows.append(dict(type=lt_mod.POINT, emit=I, pos=pos, l2w=l2w))
+        elif t == "spot":
+            I = p.find_one_spectrum("I", 1.0, "illuminant") * p.find_one_float(
+                "scale", 1.0
+            )
+            frm = p.find_one_point("from", (0.0, 0.0, 0.0))
+            to = p.find_one_point("to", (0.0, 0.0, 1.0))
+            pos = frm @ l2w[:3, :3].T + l2w[:3, 3]
+            tow = to @ l2w[:3, :3].T + l2w[:3, 3]
+            d = tow - pos
+            d = d / max(np.linalg.norm(d), 1e-12)
+            cone = p.find_one_float("coneangle", 30.0)
+            delta = p.find_one_float("conedeltaangle", 5.0)
+            rows.append(
+                dict(
+                    type=lt_mod.SPOT, emit=I, pos=pos, dirw=d, l2w=l2w,
+                    cos_total=np.cos(np.deg2rad(cone)),
+                    cos_falloff=np.cos(np.deg2rad(cone - delta)),
+                )
+            )
+        elif t == "distant":
+            L = p.find_one_spectrum("L", 1.0, "illuminant") * p.find_one_float(
+                "scale", 1.0
+            )
+            frm = p.find_one_point("from", (0.0, 0.0, 0.0))
+            to = p.find_one_point("to", (0.0, 0.0, 1.0))
+            d = (to - frm) @ l2w[:3, :3].T
+            d = d / max(np.linalg.norm(d), 1e-12)
+            rows.append(dict(type=lt_mod.DISTANT, emit=L, dirw=d, l2w=l2w))
+        elif t == "infinite":
+            L = p.find_one_spectrum("L", 1.0, "illuminant") * p.find_one_float(
+                "scale", 1.0
+            )
+            mapname = p.find_one_filename("mapname", "")
+            env = None
+            if mapname:
+                try:
+                    from pbrt_tpu.film.imageio import read_image
+
+                    img = read_image(mapname)  # (H, W, 3) linear RGB
+                    from pbrt_tpu.core import spectrum as spec_mod
+
+                    env = np.asarray(
+                        spec_mod.from_rgb(jnp.asarray(img), "illuminant", cfg)
+                    )
+                except Exception as e:  # missing codec etc.
+                    warnings.warn(f"infinite light map {mapname!r}: {e}; using constant")
+            rows.append(dict(type=lt_mod.INFINITE, emit=L, l2w=l2w, env=env))
+        else:
+            warnings.warn(f"light {t!r} not supported yet; skipped")
+
+    for al in area_lights:
+        if al is None:
+            continue
+        rec = al["rec"]
+        lp = rec.area_light[1]
+        L = lp.find_one_spectrum("L", 1.0, "illuminant") * lp.find_one_float(
+            "scale", 1.0
+        )
+        ns = lp.find_one_int("nsamples", 1)
+        row = dict(type=lt_mod.AREA, emit=L, nsamples=ns, l2w=np.eye(4))
+        if al["kind"] == "quad":
+            row["shape_kind"] = 1
+            row["quad_idx"] = al["quad_idx"]
+        else:
+            row["shape_kind"] = 2
+            row["tri_start"] = al["tri_start"]
+            row["tri_count"] = al["tri_count"]
+            row["areas"] = al["areas"]
+        rows.append(row)
+
+    L = max(len(rows), 1)
+    typ = np.zeros(L, np.int32)
+    l2w = np.tile(np.eye(4, dtype=np.float32), (L, 1, 1))
+    emit = np.zeros((L, S), np.float32)
+    pos = np.zeros((L, 3), np.float32)
+    dirw = np.tile(np.asarray([0, 0, 1], np.float32), (L, 1))
+    cos_total = np.full(L, -1.0, np.float32)
+    cos_falloff = np.full(L, -1.0, np.float32)
+    nsamples = np.ones(L, np.int32)
+    shape_kind = np.zeros(L, np.int32)
+    quad_idx = np.zeros(L, np.int32)
+    tri_start = np.zeros(L, np.int32)
+    tri_count = np.zeros(L, np.int32)
+    cdf_offset = np.zeros(L, np.int32)
+    total_area = np.ones(L, np.float32)
+    env_id = np.full(L, -1, np.int32)
+    cdfs = []
+    env_map = None
+    power = np.ones(L, np.float32)
+
+    if not rows:
+        typ[0] = lt_mod.POINT  # dummy dark light
+    for i, r in enumerate(rows):
+        typ[i] = r["type"]
+        l2w[i] = r.get("l2w", np.eye(4))
+        emit[i] = r["emit"]
+        pos[i] = r.get("pos", (0, 0, 0))
+        dirw[i] = r.get("dirw", (0, 0, 1))
+        cos_total[i] = r.get("cos_total", -1.0)
+        cos_falloff[i] = r.get("cos_falloff", -1.0)
+        nsamples[i] = r.get("nsamples", 1)
+        shape_kind[i] = r.get("shape_kind", 0)
+        quad_idx[i] = r.get("quad_idx", 0)
+        power[i] = max(float(np.mean(r["emit"])), 1e-6)
+        if r.get("shape_kind") == 2:
+            tri_start[i] = r["tri_start"]
+            tri_count[i] = r["tri_count"]
+            cdf_offset[i] = sum(len(c) for c in cdfs)
+            areas = r["areas"]
+            total_area[i] = float(areas.sum())
+            cdfs.append(np.cumsum(areas) / max(areas.sum(), 1e-20))
+        if r.get("env") is not None and env_map is None:
+            env_map = r["env"]
+            env_id[i] = 0
+
+    tri_cdf = (
+        np.concatenate(cdfs).astype(np.float32) if cdfs else np.zeros(1, np.float32)
+    )
+    if env_map is None:
+        env_map = np.ones((1, 1, S), np.float32)
+        env_lum = np.ones((1, 1), np.float32)
+    else:
+        env_lum = env_map.mean(axis=-1) + 1e-6
+
+    f32 = lambda a: jnp.asarray(np.asarray(a, np.float32))
+    i32 = lambda a: jnp.asarray(np.asarray(a, np.int32))
+    return lt_mod.LightTable(
+        type=i32(typ),
+        l2w=f32(l2w),
+        w2l=f32(np.linalg.inv(l2w)),
+        emit=f32(emit),
+        pos=f32(pos),
+        dirw=f32(dirw),
+        cos_total=f32(cos_total),
+        cos_falloff=f32(cos_falloff),
+        nsamples=i32(nsamples),
+        shape_kind=i32(shape_kind),
+        quad_idx=i32(quad_idx),
+        tri_start=i32(tri_start),
+        tri_count=i32(tri_count),
+        cdf_offset=i32(cdf_offset),
+        total_area=f32(total_area),
+        tri_cdf=f32(tri_cdf),
+        env_id=i32(env_id),
+        env_map=f32(env_map),
+        env_dist=smp.Distribution2D.build(f32(env_lum)),
+        world_center=f32(center),
+        world_radius=jnp.float32(radius),
+        power_dist=smp.Distribution1D.build(f32(power)),
+    )
