@@ -65,7 +65,8 @@ class ProjectiveCamera:
     f_stop: float = static_field(default=0.0)
     fov_deg: float = static_field(default=0.0)
 
-    def generate_rays(self, px, py, u_lens1, u_lens2, u_time, wavelength=None):
+    def generate_rays(self, px, py, u_lens1, u_lens2, u_time, wavelength=None,
+                      keys=None):
         """px, py: (R,) continuous raster coords; uniforms (R,).
         Returns world-space Ray (reference: perspective.cpp:55-97)."""
         R = px.shape[0]
@@ -108,7 +109,8 @@ class PinholeCamera:
     focal_length_mm: float = static_field(default=0.0)
     f_stop: float = static_field(default=0.0)
 
-    def generate_rays(self, px, py, u_lens1, u_lens2, u_time, wavelength=None):
+    def generate_rays(self, px, py, u_lens1, u_lens2, u_time, wavelength=None,
+                      keys=None):
         p_ras = jnp.stack([px, py, jnp.zeros_like(px)], axis=-1)
         p_film = xf.apply_point(self.raster_to_camera, p_ras)
         # sensor at -filmDistance; ray from film point through pinhole at 0
@@ -136,7 +138,8 @@ class EnvironmentCamera:
     focal_length_mm: float = static_field(default=0.0)
     f_stop: float = static_field(default=0.0)
 
-    def generate_rays(self, px, py, u_lens1, u_lens2, u_time, wavelength=None):
+    def generate_rays(self, px, py, u_lens1, u_lens2, u_time, wavelength=None,
+                      keys=None):
         theta = jnp.pi * py / self.yres
         phi = 2.0 * jnp.pi * px / self.xres
         d = jnp.stack(
@@ -200,6 +203,15 @@ def make_camera(name, params, cam_to_world: AnimatedTransform, film_cfg):
             shutter_open=so,
             shutter_close=sc,
         )
+    if name in ("realistic", "realisticDiffraction", "idealDiffraction",
+                "perspectiveDiffraction"):
+        from pbrt_tpu.cameras.realistic import make_realistic_diffraction
+
+        return make_realistic_diffraction(params, cam_to_world, film_cfg)
+    if name == "realisticEye":
+        from pbrt_tpu.cameras.eye import make_realistic_eye
+
+        return make_realistic_eye(params, cam_to_world, film_cfg)
     if name == "environment":
         return EnvironmentCamera(
             cam_to_world=cam_to_world,

@@ -1,0 +1,415 @@
+"""RealisticDiffraction camera: multi-element spherical lens stack with
+wavelength-dependent refraction and HURB diffraction.
+
+Reference: src/cameras/realisticDiffraction.{h,cpp} (1164 LoC) — the fork's
+flagship camera. Behavior reproduced:
+  - lens ``.dat`` spec file: first float = focal length, then rows of
+    (radius, separation, n, aperture) front→back; an aperture stop row has
+    radius 0 and its aperture is overridden by ``aperture_diameter``
+    (realisticDiffraction.cpp:182-193);
+  - film plane at z = −filmDistance, physical size from ``filmdiag`` and
+    the aspect ratio (:505-528, getSensorWidth :470-476), optional curved
+    sensor via ``curveRadius`` (:518-532);
+  - rays start on the film, aim at a concentric-disk sample of the rear
+    element (z-intercept of its spherical cap, :538-570), then trace
+    rear→front through each element: sphere/aperture-plane intersection +
+    aperture culling (:889-940), vector Snell's law per element (:347-409)
+    with the chromatic model n(λ) = n − 0.04·(λ−550)/300 when
+    ``chromaticAberrationEnabled`` (:383-385) or physiological ocular-media
+    dispersion when ``IORforEyeEnabled`` (:360-380);
+  - HURB diffraction (Heisenberg uncertainty ray bending) at every
+    element: bivariate-Gaussian angular noise with σ = atan(1/(√2·a·2π/λ))
+    where a/b are distances to the aperture edge (:792-876, :997-1060) —
+    ``jax.random.normal`` replaces GSL;
+  - pinhole-array / microlens light-field mode (:561-690);
+  - exposes focalLength / fStop / sensorWidth to the film header
+    (getFStop/getFocalLength, header :46-50; api.cpp:1423-1440).
+
+TPU-native design: the element list is static per camera, so the trace is a
+statically-unrolled per-element kernel over the whole wavefront — fully
+vectorized, no per-ray branching (dead rays are masked, direction=0).
+Ocular-media dispersion uses the published Atchison–Smith Cauchy fits
+rather than the reference's baked tables.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pbrt_tpu.core import geometry as geom
+from pbrt_tpu.core import sampling as smp
+from pbrt_tpu.core.transform import AnimatedTransform
+from pbrt_tpu.scene.paramset import read_float_file
+from pbrt_tpu.core import transform as xf
+from pbrt_tpu.utils import pytree_dataclass, static_field
+
+
+def _cauchy_ior(lam_nm, n_ref, a=6.0e3):
+    """Simple Cauchy dispersion n(λ) = n_ref + A(1/λ² − 1/589²) scaled so the
+    visible-range spread matches physiological media (~0.015 over 400-700nm,
+    Atchison & Smith 2005)."""
+    lam = jnp.asarray(lam_nm)
+    return n_ref + a * (1.0 / (lam * lam) - 1.0 / (589.0 * 589.0))
+
+
+# media recognized by their reference n values (realisticDiffraction.cpp:360-380)
+_EYE_MEDIA = {
+    1.336: "vitreous",
+    1.42: "lens",
+    1.3374: "aqueous",
+    1.3771: "cornea",
+}
+
+
+@pytree_dataclass
+class RealisticDiffractionCamera:
+    """Lens stack stored rear-first (trace order)."""
+
+    # per-element arrays, REAR → FRONT (reverse of file order)
+    el_radius: jnp.ndarray  # (E,)
+    el_sep: jnp.ndarray  # (E,) separation (already in trace order)
+    el_n: jnp.ndarray  # (E,) design index (0 rows replaced per reference)
+    el_aperture: jnp.ndarray  # (E,) full aperture diameter
+    el_next_n: jnp.ndarray  # (E,) medium index on the scene side of element
+    cam_to_world: AnimatedTransform
+    film_distance: jnp.ndarray  # ()
+    shutter_open: jnp.ndarray
+    shutter_close: jnp.ndarray
+    aperture_offset: jnp.ndarray  # (2,) x/y aperture decenter
+    film_center: jnp.ndarray  # (2,)
+    curve_radius: jnp.ndarray  # () curved sensor radius (0 = planar)
+    # statics
+    xres: int = static_field(default=256)
+    yres: int = static_field(default=256)
+    film_diag: float = static_field(default=35.0)
+    diffraction: bool = static_field(default=True)
+    chromatic: bool = static_field(default=False)
+    ior_for_eye: bool = static_field(default=False)
+    focal_length_mm: float = static_field(default=50.0)
+    f_stop: float = static_field(default=4.0)
+    fov_deg: float = static_field(default=0.0)
+    # light-field mode
+    num_pinholes: tuple = static_field(default=(-1, -1))
+    microlens: bool = static_field(default=False)
+    pinhole_exit: tuple = static_field(default=(-1.0, -1.0, -1.0))
+
+    @property
+    def sensor_width(self) -> float:
+        ar = self.xres / self.yres
+        return self.film_diag / np.sqrt(1.0 + 1.0 / (ar * ar))
+
+    # -- spectral IOR (reference: applySnellsLaw :347-409) -----------------
+    def _ior(self, n_design, lam):
+        """Effective index for design index ``n_design`` at wavelength λ."""
+        if self.ior_for_eye:
+            out = n_design * jnp.ones_like(lam)
+            for n_ref in _EYE_MEDIA:
+                sel = jnp.abs(n_design - n_ref) < 1e-3
+                out = jnp.where(sel, _cauchy_ior(lam, n_ref), out)
+            return out
+        if self.chromatic:
+            shift = (lam - 550.0) * (-0.04 / 300.0)
+            return jnp.where(n_design != 1.0, n_design + shift, n_design)
+        return n_design * jnp.ones_like(lam)
+
+    def generate_rays(self, px, py, u_lens1, u_lens2, u_time,
+                      wavelength=None, keys=None):
+        R = px.shape[0]
+        f32 = jnp.float32
+        lam = (
+            jnp.broadcast_to(jnp.asarray(wavelength, f32), (R,))
+            if wavelength is not None
+            else jnp.full((R,), 550.0, f32)
+        )
+        ar = self.xres / self.yres
+        width = self.sensor_width
+        height = width / ar
+        # film point (mm) — note the reference's -.25 alignment offset
+        sx = -((px) - self.xres / 2.0 - 0.25) / (self.xres / 2.0)
+        sy = ((py) - self.yres / 2.0 - 0.25) / (self.yres / 2.0)
+        x0 = sx * width / 2.0 + self.film_center[0]
+        y0 = sy * height / 2.0 + self.film_center[1]
+        z0 = jnp.full_like(x0, -self.film_distance)
+        # curved sensor (reference :518-532)
+        def curved(args):
+            x, y, z = args
+            th = x / self.curve_radius
+            ph = y / self.curve_radius
+            cx = self.curve_radius * jnp.cos(ph) * jnp.sin(th)
+            cz = self.curve_radius * jnp.cos(ph) * jnp.cos(th)
+            cy = self.curve_radius * jnp.sin(ph)
+            return cx, cy, (-self.film_distance - self.curve_radius) + cz
+
+        use_curve = self.curve_radius != 0.0
+        cx, cy, cz = curved((x0, y0, z0))
+        x0 = jnp.where(use_curve, cx, x0)
+        y0 = jnp.where(use_curve, cy, y0)
+        z0 = jnp.where(use_curve, cz, z0)
+        o = jnp.stack([x0, y0, z0], -1)
+
+        # rear-element disk target (reference :538-570)
+        lu, lv = smp.concentric_sample_disk(u_lens1, u_lens2)
+        first_ap = self.el_aperture[0] / 2.0
+        first_rad = self.el_radius[0]
+        # the reference computes -R - sqrt(R²-a²) (implicitly R>0 rear)
+        z_int = jnp.where(
+            first_rad == 0.0,
+            0.0,
+            -first_rad
+            - jnp.sqrt(jnp.maximum(first_rad * first_rad - first_ap * first_ap, 0.0)),
+        )
+        target = jnp.stack(
+            [lu * first_ap, lv * first_ap, jnp.full_like(lu, z_int)], -1
+        )
+        if self.pinhole_exit[0] != -1.0:
+            target = jnp.broadcast_to(jnp.asarray(self.pinhole_exit, f32), (R, 3))
+        elif self.num_pinholes[0] > 0:
+            target = self._pinhole_target(px, py, lu, lv, width)
+        d = geom.normalize(target - o)
+        alive = jnp.ones((R,), bool)
+
+        # --- element loop, rear → front (static unroll) -------------------
+        n_els = self.el_radius.shape[0]
+        lens_dist = jnp.float32(0.0)
+        key_i = keys
+        for i in range(n_els):
+            radius = self.el_radius[i]
+            lens_dist = lens_dist + self.el_sep[i]
+            aperture = self.el_aperture[i]
+            is_stop = radius == 0.0
+
+            # -- aperture-plane case (reference :906-935)
+            t_ap = jnp.where(
+                i == 0,
+                self.film_distance / jnp.where(jnp.abs(d[:, 2]) < 1e-12, 1e-12, d[:, 2]),
+                (lens_dist - o[:, 2]) / jnp.where(jnp.abs(d[:, 2]) < 1e-12, 1e-12, d[:, 2]),
+            )
+            p_ap = o + t_ap[:, None] * d
+            ap_ok = (
+                (p_ap[:, 0] - self.aperture_offset[0]) ** 2
+                + (p_ap[:, 1] - self.aperture_offset[1]) ** 2
+            ) <= aperture * aperture * 0.25
+
+            # -- spherical element case (reference IntersectLensEl :411-467)
+            # sphere center at z = lens_dist - radius
+            center_z = lens_dist - radius
+            oc = o - jnp.stack(
+                [jnp.zeros_like(t_ap), jnp.zeros_like(t_ap),
+                 jnp.full_like(t_ap, center_z)], -1
+            )
+            rabs = jnp.abs(radius)
+            A = jnp.sum(d * d, -1)
+            B = 2.0 * jnp.sum(d * oc, -1)
+            C = jnp.sum(oc * oc, -1) - rabs * rabs
+            disc = B * B - 4 * A * C
+            has_root = disc >= 0.0
+            sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+            q = jnp.where(B < 0, -0.5 * (B - sq), -0.5 * (B + sq))
+            t0 = q / jnp.where(jnp.abs(A) < 1e-20, 1e-20, A)
+            t1 = C / jnp.where(jnp.abs(q) < 1e-20, 1e-20, q)
+            tlo = jnp.minimum(t0, t1)
+            thi = jnp.maximum(t0, t1)
+            thit = jnp.where(tlo > 1e-7, tlo, thi)
+            sph_ok = has_root & (thit > 1e-7)
+            p_sph = o + thit[:, None] * d
+            sph_in_ap = (
+                p_sph[:, 0] ** 2 + p_sph[:, 1] ** 2
+            ) < aperture * aperture / 4.0
+            normal = geom.normalize(p_sph - jnp.stack(
+                [jnp.zeros_like(t_ap), jnp.zeros_like(t_ap),
+                 jnp.full_like(t_ap, center_z)], -1
+            ))
+            # Snell (reference applySnellsLaw :393-409)
+            n1 = self._ior(self.el_n[i], lam)
+            n2 = self._ior(self.el_next_n[i], lam)
+            nvec = jnp.where(radius > 0, -normal, normal)
+            eta = n1 / n2
+            cos_i = -jnp.sum(nvec * d, -1)
+            sin2_t = eta * eta * jnp.maximum(0.0, 1.0 - cos_i * cos_i)
+            tir = sin2_t > 1.0
+            cos_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - sin2_t))
+            d_refr = geom.normalize(
+                eta[:, None] * d
+                + (eta * cos_i - cos_t)[:, None] * nvec
+            )
+
+            new_o = jnp.where(is_stop, p_ap, p_sph)
+            new_d = jnp.where(is_stop, d, d_refr)
+            ok = jnp.where(is_stop, ap_ok, sph_ok & sph_in_ap & (~tir))
+            alive = alive & ok
+            o = jnp.where(alive[:, None], new_o, o)
+            d = jnp.where(alive[:, None], new_d, d)
+
+            # -- HURB diffraction (reference :997-1085) --------------------
+            if self.diffraction and keys is not None:
+                key_i = jax.vmap(
+                    lambda k: jax.random.fold_in(k, jnp.uint32(1000 + i))
+                )(keys)
+                noise = jax.vmap(lambda k: jax.random.normal(k, (2,)))(key_i)
+                o, d = _hurb(o, d, aperture, lam, noise)
+        # dead rays: zero direction (renderer treats as no-contribution)
+        d = jnp.where(alive[:, None], d, 0.0)
+        time = self.shutter_open + u_time * (self.shutter_close - self.shutter_open)
+        c2w = self.cam_to_world.interpolate(time)
+        return geom.Ray.make(
+            xf.apply_point(c2w, o),
+            geom.normalize(xf.apply_vector(c2w, d)) * alive[:, None],
+            time=time,
+            wavelength=lam,
+        )
+
+    def _pinhole_target(self, px, py, lu, lv, width):
+        """Pinhole-array light-field targeting (reference :577-640)."""
+        nw, nh = self.num_pinholes
+        last_ap = float(np.asarray(self.el_aperture)[-1])
+        s_pitch = width / nw
+        pin_dist = s_pitch * float(np.asarray(self.film_distance)) / (
+            last_ap + s_pitch
+        )
+        ppw = self.xres // nw
+        pph = self.yres // nh
+        xp = jnp.clip(((px - 0.25) / ppw).astype(jnp.int32), 0, nw - 1)
+        yp = jnp.clip(((py - 0.25) / pph).astype(jnp.int32), 0, nh - 1)
+        # pinhole grid centered on the axis at z = -pin_dist
+        cx = (xp.astype(jnp.float32) + 0.5 - nw / 2.0) * s_pitch
+        cy = (yp.astype(jnp.float32) + 0.5 - nh / 2.0) * s_pitch
+        cz = jnp.full_like(cx, -pin_dist)
+        loc = jnp.stack([cx, cy, cz], -1)
+        if self.microlens:
+            loc = loc.at[:, 0].add(lu * s_pitch / 2.0)
+            loc = loc.at[:, 1].add(lv * s_pitch / 2.0)
+        return loc
+
+
+def _hurb(o, d, aperture, lam, noise):
+    """Heisenberg uncertainty ray bending (reference :997-1085)."""
+    ix, iy = o[:, 0], o[:, 1]
+    radius = jnp.sqrt(ix * ix + iy * iy)
+    half_ap = aperture / 2.0
+    a = jnp.maximum(half_ap - radius, 1e-6)
+    b = jnp.sqrt(jnp.maximum(half_ap * half_ap - radius * radius, 1e-12))
+    lam_m = lam * 1e-9
+    # σ = atan(1 / (√2 · dist_mm·0.001 · 2π/λ))  (reference :1028-1030)
+    sigma_x = jnp.arctan(1.0 / (jnp.sqrt(2.0) * a * 1e-3 * 2.0 * jnp.pi / lam_m))
+    sigma_y = jnp.arctan(1.0 / (jnp.sqrt(2.0) * b * 1e-3 * 2.0 * jnp.pi / lam_m))
+    noise_a = noise[:, 0] * sigma_x
+    noise_b = noise[:, 1] * sigma_y
+    safe_r = jnp.maximum(radius, 1e-9)
+    dir_r = jnp.stack([ix / safe_r, iy / safe_r, jnp.zeros_like(ix)], -1)
+    dir_o = jnp.stack([-iy / safe_r, ix / safe_r, jnp.zeros_like(ix)], -1)
+    proj_a = jnp.sum(d * dir_r, -1)
+    proj_b = jnp.sum(d * dir_o, -1)
+    proj_c = d[:, 2]
+    r_a = jnp.sqrt(proj_a * proj_a + proj_c * proj_c)
+    r_b = jnp.sqrt(proj_b * proj_b + proj_c * proj_c)
+    theta_a = jnp.arccos(jnp.clip(proj_a / jnp.maximum(r_a, 1e-12), -1.0, 1.0))
+    theta_b = jnp.arccos(jnp.clip(proj_b / jnp.maximum(r_b, 1e-12), -1.0, 1.0))
+    theta_a = theta_a + noise_a
+    theta_b = theta_b + noise_b
+    new_proj_a = jnp.cos(theta_a) * r_a
+    dz = jnp.sin(theta_a) * r_a
+    r_b2 = jnp.sqrt(proj_b * proj_b + dz * dz)
+    theta_b2 = jnp.arccos(jnp.clip(proj_b / jnp.maximum(r_b2, 1e-12), -1.0, 1.0))
+    theta_b2 = theta_b2 + noise_b
+    new_proj_b = jnp.cos(theta_b2) * r_b2
+    dz = jnp.sin(theta_b2) * r_b2
+    new_d = jnp.stack(
+        [
+            dir_r[:, 0] * new_proj_a + dir_o[:, 0] * new_proj_b,
+            dir_r[:, 1] * new_proj_a + dir_o[:, 1] * new_proj_b,
+            dz,
+        ],
+        -1,
+    )
+    bad = jnp.any(jnp.isnan(new_d), -1)
+    new_d = jnp.where(bad[:, None], d, geom.normalize(new_d))
+    return o, new_d
+
+
+def make_realistic_diffraction(params, cam_to_world, film_cfg):
+    """Factory (reference: CreateRealisticDiffractionCamera, :44-95)."""
+    specfile = params.find_one_filename("specfile", "")
+    if not specfile:
+        raise ValueError("realisticDiffraction needs a specfile")
+    vals = read_float_file(specfile)
+    if (len(vals) - 1) % 4 != 0:
+        raise ValueError(f"{specfile}: bad float count (forgot focal length?)")
+    focal_length = float(vals[0])
+    ap_diam = params.find_one_float("aperture_diameter", 1.0)
+    rows = vals[1:].reshape(-1, 4)  # radius, separation, n, aperture
+    radius = rows[:, 0].copy()
+    sep = rows[:, 1].copy()
+    n = rows[:, 2].copy()
+    aperture = rows[:, 3].copy()
+    aperture[radius == 0.0] = ap_diam
+    # reverse to trace order (rear → front). Separation semantics follow the
+    # reference loop: lensDistance += separation of the element being hit,
+    # iterating i = last..0 over the FILE order — so in trace order the
+    # separations stay attached to the same element.
+    order = np.arange(len(rows))[::-1]
+    radius_t = radius[order]
+    sep_t = sep[order]
+    n_t = n[order]
+    ap_t = aperture[order]
+    # medium on the scene side of element i (trace order): next element's n,
+    # skipping aperture rows (n==0) per reference (:969-978); front → 1.0
+    next_n = np.ones(len(rows), np.float64)
+    for i in range(len(rows)):
+        j = i + 1
+        while j < len(rows) and n_t[j] == 0.0:
+            j += 1
+        next_n[i] = n_t[j] if j < len(rows) else 1.0
+    # element design n of 0 (aperture row) refracts nothing: set n=1-ish; the
+    # aperture branch never refracts so the value is unused
+    n_t = np.where(n_t == 0.0, 1.0, n_t)
+
+    f32 = jnp.float32
+    cam = RealisticDiffractionCamera(
+        el_radius=jnp.asarray(radius_t, f32),
+        el_sep=jnp.asarray(sep_t, f32),
+        el_n=jnp.asarray(n_t, f32),
+        el_aperture=jnp.asarray(ap_t, f32),
+        el_next_n=jnp.asarray(next_n, f32),
+        cam_to_world=cam_to_world,
+        film_distance=f32(params.find_one_float("filmdistance", 70.0)),
+        shutter_open=f32(params.find_one_float("shutteropen", 0.0)),
+        shutter_close=f32(params.find_one_float("shutterclose", 1.0)),
+        aperture_offset=jnp.asarray(
+            [
+                params.find_one_float("x_aperture_offset", 0.0),
+                params.find_one_float("y_aperture_offset", 0.0),
+            ],
+            f32,
+        ),
+        film_center=jnp.asarray(
+            [
+                params.find_one_float("film_center_x", 0.0),
+                params.find_one_float("film_center_y", 0.0),
+            ],
+            f32,
+        ),
+        curve_radius=f32(params.find_one_float("curveRadius", 0.0)),
+        xres=film_cfg.xres,
+        yres=film_cfg.yres,
+        film_diag=params.find_one_float("filmdiag", 35.0),
+        diffraction=params.find_one_bool("diffractionEnabled", True),
+        chromatic=params.find_one_bool("chromaticAberrationEnabled", False),
+        ior_for_eye=params.find_one_bool("IORforEyeEnabled", False),
+        focal_length_mm=focal_length,
+        f_stop=focal_length / max(ap_diam, 1e-9),
+        num_pinholes=(
+            int(params.find_one_float("num_pinholes_w", -1)),
+            int(params.find_one_float("num_pinholes_h", -1)),
+        ),
+        microlens=bool(params.find_one_float("microlens_enabled", 0)),
+        pinhole_exit=(
+            params.find_one_float("pinhole_exit_x", -1.0),
+            params.find_one_float("pinhole_exit_y", -1.0),
+            params.find_one_float("pinhole_exit_z", -1.0),
+        ),
+    )
+    return cam

@@ -255,11 +255,14 @@ def trace_radiance(scene: RenderScene, rays: geom.Ray, keys, cfg: IntegratorConf
         return (ray, L, throughput, alive, specular_bounce, prev_bsdf_pdf,
                 first_hit_t)
 
+    # lens cameras mark vignetted/dead rays with a zero direction
+    # (reference: GenerateRay returning weight 0, realisticDiffraction.cpp)
+    ray_alive = geom.length_sq(rays.direction) > 0.5
     init = (
         rays,
         jnp.zeros((R, S), jnp.float32),
         jnp.ones((R, S), jnp.float32),
-        jnp.ones((R,), bool),
+        ray_alive,
         jnp.ones((R,), bool),  # camera rays count as "specular prev"
         jnp.ones((R,), jnp.float32),
         jnp.zeros((R,), jnp.float32),

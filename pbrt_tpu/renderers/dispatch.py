@@ -24,6 +24,23 @@ def render_scene(built, spp=None, seed=0, quick=False, verbose=True, outfile=Non
         state = render_spectral(
             built, spp=spp, seed=seed, quick=quick, verbose=verbose
         )
+    elif name == "cameras":
+        from pbrt_tpu.renderers.cameras_renderer import render_cameras
+
+        outputs = []
+        for state, suffix in render_cameras(
+            built, spp=spp, seed=seed, quick=quick, verbose=verbose
+        ):
+            outputs += write_outputs(built, state, outfile, suffix=suffix)
+        return outputs
+    elif name == "aggregatetest":
+        from pbrt_tpu.renderers.aggregatetest import run_aggregate_test
+
+        n_bad = run_aggregate_test(
+            built, niters=built.renderer_params.find_one_int("niters", 100000)
+        )
+        print(f"[pbrt_tpu] aggregatetest: {n_bad} disagreements")
+        return []
     else:
         from pbrt_tpu.renderers.sampler import render
 
@@ -31,13 +48,14 @@ def render_scene(built, spp=None, seed=0, quick=False, verbose=True, outfile=Non
     return write_outputs(built, state, outfile)
 
 
-def write_outputs(built, state, outfile=None):
+def write_outputs(built, state, outfile=None, suffix=""):
     """Write the film in the format its filename implies: .dat spectral
     planes (fork behavior) plus an RGB preview for convenience."""
     cfg = built.film_config
     filename = outfile or cfg.filename
     outputs = []
     base, ext = os.path.splitext(filename)
+    base += suffix
     if ext in ("", ".dat"):
         outputs.append(film_mod.write_dat(state, cfg, base + ".dat"))
         rgb = film_mod.to_rgb_image(state, cfg)

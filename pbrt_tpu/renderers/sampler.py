@@ -91,7 +91,7 @@ def render_wave(
     )
     px = pixel_x.astype(jnp.float32) + iu
     py = pixel_y.astype(jnp.float32) + iv
-    rays = camera.generate_rays(px, py, lu, lv, tu)
+    rays = camera.generate_rays(px, py, lu, lv, tu, keys=keys)
     L, first_t = trace_radiance(scene, rays, keys, icfg)
     # NaN/negative/inf clamps (reference: samplerrenderer.cpp:119-133)
     bad = jnp.isnan(L) | (L < 0.0) | jnp.isinf(L)
