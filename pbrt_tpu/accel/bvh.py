@@ -44,8 +44,63 @@ def build_bvh(
     prim_hi: np.ndarray,
     method: str = "sah",
     max_prims_in_node: int = MAX_PRIMS_IN_NODE,
+    use_native: bool = True,
 ) -> BVH:
-    """Build over per-primitive AABBs. method ∈ {sah, middle, equal}."""
+    """Build over per-primitive AABBs. method ∈ {sah, middle, equal}.
+
+    The SAH path uses the native C++ builder (runtime/bvh_builder.cpp) when
+    available; this Python implementation is the reference/fallback and
+    serves the middle/equal split methods."""
+    if method == "sah" and use_native and len(prim_lo) > 0:
+        tree = _build_bvh_native(prim_lo, prim_hi, max_prims_in_node)
+        if tree is not None:
+            return tree
+    return _build_bvh_python(prim_lo, prim_hi, method, max_prims_in_node)
+
+
+def _build_bvh_native(prim_lo, prim_hi, max_prims_in_node):
+    from pbrt_tpu.utils.native import get_lib
+
+    lib = get_lib()
+    if lib is None:
+        return None
+    import ctypes
+
+    n = len(prim_lo)
+    lo = np.ascontiguousarray(prim_lo, np.float32)
+    hi = np.ascontiguousarray(prim_hi, np.float32)
+    max_nodes = 2 * n
+    node_lo = np.empty((max_nodes, 3), np.float32)
+    node_hi = np.empty((max_nodes, 3), np.float32)
+    node_second = np.empty(max_nodes, np.int32)
+    node_count = np.empty(max_nodes, np.int32)
+    node_axis = np.empty(max_nodes, np.int32)
+    prim_order = np.empty(n, np.int32)
+    fp = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+    ip = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+    n_nodes = lib.pbrt_tpu_build_bvh(
+        fp(lo), fp(hi), n, max_prims_in_node, ctypes.c_float(TRAVERSAL_COST),
+        fp(node_lo), fp(node_hi), ip(node_second), ip(node_count),
+        ip(node_axis), ip(prim_order), max_nodes,
+    )
+    if n_nodes < 0:
+        return None
+    return BVH(
+        node_lo=node_lo[:n_nodes].copy(),
+        node_hi=node_hi[:n_nodes].copy(),
+        node_second=node_second[:n_nodes].copy(),
+        node_count=node_count[:n_nodes].copy(),
+        node_axis=node_axis[:n_nodes].copy(),
+        prim_order=prim_order,
+    )
+
+
+def _build_bvh_python(
+    prim_lo: np.ndarray,
+    prim_hi: np.ndarray,
+    method: str = "sah",
+    max_prims_in_node: int = MAX_PRIMS_IN_NODE,
+) -> BVH:
     n = len(prim_lo)
     if n == 0:
         # single empty leaf so traversal code has something valid
