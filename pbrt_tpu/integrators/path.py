@@ -36,6 +36,7 @@ from pbrt_tpu.core.interaction import offset_ray_origin, surface_interaction
 from pbrt_tpu.lights import table as lights_mod
 from pbrt_tpu.materials import table as mat_mod
 from pbrt_tpu.utils import pytree_dataclass, static_field
+from pbrt_tpu.textures import texture as tex_mod
 
 
 @pytree_dataclass
@@ -45,6 +46,8 @@ class RenderScene:
     geometry: SceneGeometry
     materials: mat_mod.MaterialTable
     lights: lights_mod.LightTable
+    textures: object = None  # TextureTable or None
+    has_textures: bool = static_field(default=False)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -112,6 +115,47 @@ def _nee_one_light(scene: RenderScene, si, lm, wo_local, frame, keys, bounce, ac
     )
     contrib = f * ls.L * (cos_i * w_mis / jnp.maximum(ls.pdf, 1e-12))[..., None]
     return jnp.where(ok[..., None], contrib * n_lights, 0.0)
+
+
+def apply_textures(scene: RenderScene, si, lm):
+    """Texture-bound material parameters + the fork's normal mapping.
+
+    Reference: Texture<T>::Evaluate calls inside every material GetBSDF
+    (e.g. matte.cpp:40-48) and the fork's NormalMap-over-bumpmap preference
+    (e.g. anisoward.cpp:47-56)."""
+    import dataclasses as _dc
+
+    if not scene.has_textures:
+        return si, lm
+    tt = scene.textures
+    mats = scene.materials
+    mi = jnp.maximum(si.material, 0)
+
+    def override_spec(cur, tex_ids):
+        tid = tex_ids[mi]
+        val = jnp.maximum(tex_mod.eval_spectrum(tt, tid, si.uv, si.p), 0.0)
+        return jnp.where((tid >= 0)[..., None], val, cur)
+
+    lm = _dc.replace(
+        lm,
+        kd=override_spec(lm.kd, mats.kd_tex),
+        ks=override_spec(lm.ks, mats.ks_tex),
+    )
+    # fork normalmap: tangent-space normal from an RGB texture, applied in
+    # preference to bumpmap when non-black
+    ntid = mats.normal_tex[mi]
+    has_nm = ntid >= 0
+    nm_spec = tex_mod.eval_spectrum(tt, ntid, si.uv, si.p)
+    rgb = spec.to_rgb(nm_spec)
+    nonblack = jnp.any(nm_spec > 1e-6, axis=-1)
+    t = 2.0 * rgb - 1.0
+    ss0, ts0 = bxdf.make_shading_frame(si.ns, si.dpdu)
+    n_new = geom.normalize(
+        t[..., 0:1] * ss0 + t[..., 1:2] * ts0 + t[..., 2:3] * si.ns
+    )
+    use = has_nm & nonblack
+    si = _dc.replace(si, ns=jnp.where(use[..., None], n_new, si.ns))
+    return si, lm
 
 
 def trace_radiance(scene: RenderScene, rays: geom.Ray, keys, cfg: IntegratorConfig):
@@ -194,6 +238,7 @@ def trace_radiance(scene: RenderScene, rays: geom.Ray, keys, cfg: IntegratorConf
 
         # --- shading frame + lane materials ------------------------------
         lm = mat_mod.gather_lane(scene.materials, si.material)
+        si, lm = apply_textures(scene, si, lm)
         ss, ts = bxdf.make_shading_frame(si.ns, si.dpdu)
         frame = (ss, ts, si.ns)
         wo_local = bxdf.world_to_local(si.wo, ss, ts, si.ns)

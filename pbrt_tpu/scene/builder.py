@@ -324,9 +324,24 @@ def build(desc: SceneDescription) -> BuiltScene:
     # --- lights -------------------------------------------------------------
     lights = _build_lights(desc, area_lights, world_lo, world_hi, cfg)
 
-    materials = build_material_table(mat_records, cfg)
+    # --- textures ------------------------------------------------------------
+    from pbrt_tpu.textures.texture import build_texture_table
 
-    scene = RenderScene(geometry=geometry, materials=materials, lights=lights)
+    tex_records: dict = {}
+    for m in mat_records:
+        tex_records.update(m.float_textures)
+        tex_records.update(m.spectrum_textures)
+    textures, tex_index = build_texture_table(tex_records, cfg)
+
+    materials = build_material_table(mat_records, cfg, tex_index)
+
+    scene = RenderScene(
+        geometry=geometry,
+        materials=materials,
+        lights=lights,
+        textures=textures,
+        has_textures=len(tex_records) > 0,
+    )
 
     # --- film / camera / sampler / integrator -------------------------------
     film_name, film_params = desc.film
