@@ -47,7 +47,9 @@ class RenderScene:
     materials: mat_mod.MaterialTable
     lights: lights_mod.LightTable
     textures: object = None  # TextureTable or None
+    volumes: object = None  # VolumeTable or None
     has_textures: bool = static_field(default=False)
+    has_volumes: bool = static_field(default=False)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -59,6 +61,7 @@ class IntegratorConfig:
     ao_nsamples: int = 4
     ao_maxdist: float = jnp.inf
     metadata_channel: str = "depth"  # depth | mesh_mask | material_mask
+    volume_kind: str = "emission"  # emission | single | none
     n_bins: int = 32
 
 
@@ -114,6 +117,19 @@ def _nee_one_light(scene: RenderScene, si, lm, wo_local, frame, keys, bounce, ac
         ls.is_delta, 1.0, smp.power_heuristic(1.0, ls.pdf, 1.0, pdf_b)
     )
     contrib = f * ls.L * (cos_i * w_mis / jnp.maximum(ls.pdf, 1e-12))[..., None]
+    if scene.has_volumes:
+        # media attenuation along the shadow ray
+        # (reference: Renderer::Transmittance in EstimateDirect,
+        # integrator.cpp:130)
+        from pbrt_tpu.media import volumes as vol_mod
+
+        k_t = rngmod.bounce_key(keys, bounce, rngmod.VOLUME)
+        u_t = rngmod.uniform_per(k_t, 1)[..., 0]
+        t1 = jnp.where(jnp.isfinite(ls.dist), ls.dist, 1e4)
+        tr = vol_mod.transmittance(
+            scene.volumes, si.p, ls.wi, jnp.zeros_like(t1), t1, u_t
+        )
+        contrib = contrib * tr
     return jnp.where(ok[..., None], contrib * n_lights, 0.0)
 
 
@@ -323,6 +339,29 @@ def trace_radiance(scene: RenderScene, rays: geom.Ray, keys, cfg: IntegratorConf
     L = accumulate_hit(
         L, ray, hit, si, throughput, alive, specular_bounce, prev_bsdf_pdf
     )
+
+    # --- participating media on the camera segment ------------------------
+    # (reference: SamplerRenderer::Li returns T·Li + Lvi,
+    # samplerrenderer.cpp:244-246 — the volume integrator runs on the
+    # camera ray; shadow rays were attenuated in NEE above)
+    if scene.has_volumes and cfg.volume_kind != "none":
+        from pbrt_tpu.media import volumes as vol_mod
+
+        k_v = rngmod.bounce_key(keys, 0, rngmod.VOLUME)
+        u_v = rngmod.uniform_per(k_v, 1)[..., 0]
+        t_end = jnp.where(first_hit_t > 0.0, first_hit_t, 1e4)
+        if cfg.volume_kind == "single":
+            Lv, tr = vol_mod.integrate_single_scattering(
+                scene.volumes, scene, rays.origin,
+                geom.normalize(rays.direction),
+                jnp.zeros_like(t_end), t_end, keys, 0,
+            )
+        else:
+            Lv, tr = vol_mod.integrate_emission(
+                scene.volumes, rays.origin, geom.normalize(rays.direction),
+                jnp.zeros_like(t_end), t_end, u_v,
+            )
+        L = tr * L + Lv
     return L, first_hit_t
 
 

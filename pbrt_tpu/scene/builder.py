@@ -335,12 +335,19 @@ def build(desc: SceneDescription) -> BuiltScene:
 
     materials = build_material_table(mat_records, cfg, tex_index)
 
+    # --- volumes -------------------------------------------------------------
+    from pbrt_tpu.media.volumes import build_volume_table
+
+    volumes = build_volume_table(desc.volumes, cfg)
+
     scene = RenderScene(
         geometry=geometry,
         materials=materials,
         lights=lights,
         textures=textures,
+        volumes=volumes,
         has_textures=len(tex_records) > 0,
+        has_volumes=len(desc.volumes) > 0,
     )
 
     # --- film / camera / sampler / integrator -------------------------------
@@ -381,6 +388,8 @@ def build(desc: SceneDescription) -> BuiltScene:
         "ambientocclusion": "ambientocclusion",
         "metadata": "metadata",
     }.get(integ_name, "path")
+    vol_name = desc.volume_integrator[0]
+    vol_kind = {"emission": "emission", "single": "single"}.get(vol_name, "emission")
     integrator = IntegratorConfig(
         kind=ikind,
         max_depth=integ_params.find_one_int("maxdepth", 5),
@@ -388,6 +397,7 @@ def build(desc: SceneDescription) -> BuiltScene:
         ao_nsamples=integ_params.find_one_int("nsamples", 4),
         ao_maxdist=integ_params.find_one_float("maxdist", 1e30),
         metadata_channel=integ_params.find_one_string("strategy", "depth"),
+        volume_kind=vol_kind,
         n_bins=S,
     )
 
