@@ -22,6 +22,13 @@ KILLEROO = "/root/reference/scenes/killeroo-simple.pbrt"
 
 def main():
     import jax
+
+    # persistent compile cache: TPU (remote) compiles of the full wavefront
+    # kernel are slow; cache them across bench runs
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
     from pbrt_tpu.film import film as film_mod
