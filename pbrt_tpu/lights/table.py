@@ -31,6 +31,7 @@ POINT, SPOT, DISTANT, AREA, INFINITE, PROJECTION, GONIO = range(7)
 @pytree_dataclass
 class LightTable:
     type: jnp.ndarray  # (L,) i32
+    dispatch: jnp.ndarray  # (L,) i32 compact index into active_types
     l2w: jnp.ndarray  # (L, 4, 4)
     w2l: jnp.ndarray  # (L, 4, 4)
     emit: jnp.ndarray  # (L, S): I (point/spot/proj), L (distant/area/inf)
@@ -55,6 +56,9 @@ class LightTable:
     world_center: jnp.ndarray  # (3,)
     world_radius: jnp.ndarray  # ()
     power_dist: smp.Distribution1D  # light-selection distribution
+    #: static set of light type codes present in the scene — runtime
+    #: dispatch compiles only these branches
+    active_types: tuple = static_field(default=(0,))
 
     @property
     def count(self) -> int:
@@ -113,10 +117,14 @@ def _sample_one(lt: LightTable, g, li, p, u1, u2):
     def i_infinite():
         return _sample_infinite(lt, li, p, u1, u2)
 
-    wi, L, pdf, dist, is_delta = jax.lax.switch(
-        jnp.clip(lt.type[li], 0, 4),
-        [d_point, d_spot, d_distant, a_area, i_infinite],
-    )
+    all_branches = [d_point, d_spot, d_distant, a_area, i_infinite]
+    branches = [all_branches[min(code, 4)] for code in lt.active_types]
+    if len(branches) == 1:
+        wi, L, pdf, dist, is_delta = branches[0]()
+    else:
+        wi, L, pdf, dist, is_delta = jax.lax.switch(
+            jnp.clip(lt.dispatch[li], 0, len(branches) - 1), branches
+        )
     return wi, L, pdf, dist, jnp.asarray(is_delta)
 
 

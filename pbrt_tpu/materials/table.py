@@ -23,7 +23,7 @@ import numpy as np
 
 from pbrt_tpu.bsdf import bxdf
 from pbrt_tpu.core import geometry as geom
-from pbrt_tpu.utils import pytree_dataclass
+from pbrt_tpu.utils import pytree_dataclass, static_field
 
 MAX_LOBES = 4
 
@@ -42,11 +42,17 @@ N_LOBE_TYPES = 12
 
 @pytree_dataclass
 class MaterialTable:
-    """(M, ...) SoA. Spectral params are (M, n_bins)."""
+    """(M, ...) SoA. Spectral params are (M, n_bins).
+
+    ``lobe_type`` holds COMPACT indices into the static ``active_lobes``
+    tuple (the set of lobe codes this scene actually uses) — the runtime
+    dispatch switches over only those branches, keeping the compiled HLO
+    proportional to the scene's material diversity, not the full lobe
+    library."""
 
     kind: jnp.ndarray  # (M,) i32
     n_lobes: jnp.ndarray  # (M,) i32
-    lobe_type: jnp.ndarray  # (M, MAX_LOBES) i32, padded with -1
+    lobe_type: jnp.ndarray  # (M, MAX_LOBES) i32 compact, padded with -1
     kd: jnp.ndarray  # (M, S) diffuse
     ks: jnp.ndarray  # (M, S) glossy
     kr: jnp.ndarray  # (M, S) specular reflect
@@ -63,6 +69,7 @@ class MaterialTable:
     sigma_tex: jnp.ndarray  # (M,) i32 (float texture)
     bump_tex: jnp.ndarray  # (M,) i32 (float texture)
     normal_tex: jnp.ndarray  # (M,) i32 (spectrum texture; fork normalmap)
+    active_lobes: tuple = static_field(default=(L_LAMBERT,))
 
     @property
     def count(self) -> int:
@@ -85,6 +92,7 @@ class LaneMaterial:
     eta: jnp.ndarray
     eta_spec: jnp.ndarray
     k_spec: jnp.ndarray
+    active_lobes: tuple = static_field(default=(L_LAMBERT,))
 
 
 def gather_lane(mt: MaterialTable, idx) -> LaneMaterial:
@@ -102,6 +110,7 @@ def gather_lane(mt: MaterialTable, idx) -> LaneMaterial:
         eta=mt.eta[i],
         eta_spec=mt.eta_spec[i],
         k_spec=mt.k_spec[i],
+        active_lobes=mt.active_lobes,
     )
 
 
@@ -152,12 +161,15 @@ def _lobe_f(lobe, lm: LaneMaterial, wo, wi):
     def delta():
         return zero
 
-    branches = [
+    all_branches = [
         lamb, oren, blinn_diel, blinn_cond, fres_blend,
         delta, delta, delta, delta,
         ward, lamb_trans, blinn_trans,
     ]
-    return jax.lax.switch(jnp.clip(lobe, 0, N_LOBE_TYPES - 1), branches)
+    branches = [all_branches[code] for code in lm.active_lobes]
+    if len(branches) == 1:
+        return branches[0]()
+    return jax.lax.switch(jnp.clip(lobe, 0, len(branches) - 1), branches)
 
 
 def _lobe_pdf(lobe, lm: LaneMaterial, wo, wi):
@@ -185,12 +197,15 @@ def _lobe_pdf(lobe, lm: LaneMaterial, wo, wi):
     def zero():
         return jnp.zeros(wo.shape[:-1], wo.dtype)
 
-    branches = [
+    all_branches = [
         cos_pdf, cos_pdf, blinn, blinn, fres_blend,
         zero, zero, zero, zero,
         ward, lamb_trans, blinn_trans,
     ]
-    return jax.lax.switch(jnp.clip(lobe, 0, N_LOBE_TYPES - 1), branches)
+    branches = [all_branches[code] for code in lm.active_lobes]
+    if len(branches) == 1:
+        return branches[0]()
+    return jax.lax.switch(jnp.clip(lobe, 0, len(branches) - 1), branches)
 
 
 def _lobe_sample(lobe, lm: LaneMaterial, wo, u1, u2):
@@ -269,12 +284,15 @@ def _lobe_sample(lobe, lm: LaneMaterial, wo, u1, u2):
         wi = wi * jnp.asarray([1.0, 1.0, -1.0])
         return wi, pdf, zero_spec, jnp.zeros(wo.shape[:-1], bool)
 
-    branches = [
+    all_branches = [
         cos_sample, cos_sample, blinn_sample, blinn_sample, fres_blend_sample,
         spec_refl("diel"), spec_refl("noop"), spec_refl("cond"), spec_trans,
         ward_sample, lamb_trans_sample, blinn_trans_sample,
     ]
-    return jax.lax.switch(jnp.clip(lobe, 0, N_LOBE_TYPES - 1), branches)
+    branches = [all_branches[code] for code in lm.active_lobes]
+    if len(branches) == 1:
+        return branches[0]()
+    return jax.lax.switch(jnp.clip(lobe, 0, len(branches) - 1), branches)
 
 
 # ---------------------------------------------------------------------------
@@ -335,11 +353,17 @@ def bsdf_sample(lm: LaneMaterial, wo, u_lobe, u1, u2):
 
 def has_delta_only(lm: LaneMaterial):
     """True when every lobe is specular (glass/mirror) — NEE skips these."""
+    delta_compact = [
+        i for i, code in enumerate(lm.active_lobes) if code in _DELTA_LOBES
+    ]
     all_delta = jnp.ones(lm.n_lobes.shape, bool)
     for slot in range(MAX_LOBES):
         active = slot < lm.n_lobes
         lobe = lm.lobe_type[..., slot]
-        is_d = jnp.isin(lobe, jnp.asarray(_DELTA_LOBES))
+        if delta_compact:
+            is_d = jnp.isin(lobe, jnp.asarray(delta_compact))
+        else:
+            is_d = jnp.zeros(lobe.shape, bool)
         all_delta = all_delta & (is_d | ~active)
     return all_delta
 
@@ -520,6 +544,16 @@ def build_material_table(records, config, texture_index=None) -> MaterialTable:
         n_lobes[i] = len(lobes)
         lobe_type[i, : len(lobes)] = lobes
 
+    # compact the lobe code space to the set this scene uses (static)
+    active = tuple(
+        sorted({int(c) for row in lobe_type for c in row if c >= 0})
+    ) or (L_LAMBERT,)
+    remap = {code: k for k, code in enumerate(active)}
+    for i in range(M):
+        for s_ in range(MAX_LOBES):
+            if lobe_type[i, s_] >= 0:
+                lobe_type[i, s_] = remap[int(lobe_type[i, s_])]
+
     f = jnp.asarray
     return MaterialTable(
         kind=f(kind), n_lobes=f(n_lobes), lobe_type=f(lobe_type),
@@ -528,4 +562,5 @@ def build_material_table(records, config, texture_index=None) -> MaterialTable:
         eta_spec=f(eta_spec), k_spec=f(k_spec),
         kd_tex=f(kd_tex), ks_tex=f(ks_tex), sigma_tex=f(sigma_tex),
         bump_tex=f(bump_tex), normal_tex=f(normal_tex),
+        active_lobes=active,
     )

@@ -556,10 +556,14 @@ def _build_lights(desc, area_lights, world_lo, world_hi, cfg):
     else:
         env_lum = env_map.mean(axis=-1) + 1e-6
 
+    active_types = tuple(sorted({int(t) for t in typ})) or (0,)
+    remap = {code: k for k, code in enumerate(active_types)}
+    dispatch = np.asarray([remap[int(t)] for t in typ], np.int32)
     f32 = lambda a: jnp.asarray(np.asarray(a, np.float32))
     i32 = lambda a: jnp.asarray(np.asarray(a, np.int32))
     return lt_mod.LightTable(
         type=i32(typ),
+        dispatch=i32(dispatch),
         l2w=f32(l2w),
         w2l=f32(np.linalg.inv(l2w)),
         emit=f32(emit),
@@ -581,4 +585,5 @@ def _build_lights(desc, area_lights, world_lo, world_hi, cfg):
         world_center=f32(center),
         world_radius=jnp.float32(radius),
         power_dist=smp.Distribution1D.build(f32(power)),
+        active_types=active_types,
     )
