@@ -98,7 +98,8 @@ def _nee_one_light(scene: RenderScene, si, lm, wo_local, frame, keys, bounce, ac
     light_idx = jnp.minimum((u_sel * n_lights).astype(jnp.int32), n_lights - 1)
     ls = lights_mod.sample_li(lt, scene.geometry, light_idx, si.p, u[..., 0], u[..., 1])
     wi_local = bxdf.world_to_local(ls.wi, ss, ts, ns)
-    f = mat_mod.bsdf_f(lm, wo_local, wi_local)
+    pools = mat_mod.pools_of(scene.materials)
+    f = mat_mod.bsdf_f(lm, wo_local, wi_local, pools)
     cos_i = geom.absdot(ls.wi, ns)
     candidate = (
         active
@@ -270,7 +271,8 @@ def trace_radiance(scene: RenderScene, rays: geom.Ray, keys, cfg: IntegratorConf
         k_b = rngmod.bounce_key(keys, bounce, rngmod.BSDF_SAMPLE)
         ub = rngmod.uniform_per(k_b, 3)
         wi_local, f, pdf, is_delta = mat_mod.bsdf_sample(
-            lm, wo_local, ub[..., 0], ub[..., 1], ub[..., 2]
+            lm, wo_local, ub[..., 0], ub[..., 1], ub[..., 2],
+            mat_mod.pools_of(scene.materials),
         )
         wi_world = bxdf.local_to_world(wi_local, ss, ts, si.ns)
         cos_i = geom.absdot(wi_world, si.ns)

@@ -34,10 +34,11 @@ MAX_LOBES = 4
 # lobe type codes (runtime dispatch set)
 (L_LAMBERT, L_ORENNAYAR, L_BLINN_DIEL, L_BLINN_COND, L_FRESNEL_BLEND,
  L_SPEC_REFL_DIEL, L_SPEC_REFL_NOOP, L_SPEC_REFL_COND, L_SPEC_TRANS,
- L_WARD, L_LAMBERT_TRANS, L_BLINN_DIEL_TRANS) = range(12)
+ L_WARD, L_LAMBERT_TRANS, L_BLINN_DIEL_TRANS, L_IRREG_MEASURED,
+ L_MERL_MEASURED) = range(14)
 
 _DELTA_LOBES = (L_SPEC_REFL_DIEL, L_SPEC_REFL_NOOP, L_SPEC_REFL_COND, L_SPEC_TRANS)
-N_LOBE_TYPES = 12
+N_LOBE_TYPES = 14
 
 
 @pytree_dataclass
@@ -69,6 +70,13 @@ class MaterialTable:
     sigma_tex: jnp.ndarray  # (M,) i32 (float texture)
     bump_tex: jnp.ndarray  # (M,) i32 (float texture)
     normal_tex: jnp.ndarray  # (M,) i32 (spectrum texture; fork normalmap)
+    # measured-BRDF pools (bsdf/measured.py)
+    irreg_offset: jnp.ndarray  # (M,)
+    irreg_count: jnp.ndarray  # (M,)
+    merl_offset: jnp.ndarray  # (M,) -1 = none
+    irreg_points: jnp.ndarray  # (P, 3)
+    irreg_spectra: jnp.ndarray  # (P, S)
+    merl_rgb: jnp.ndarray  # (Q, 3)
     active_lobes: tuple = static_field(default=(L_LAMBERT,))
 
     @property
@@ -92,6 +100,9 @@ class LaneMaterial:
     eta: jnp.ndarray
     eta_spec: jnp.ndarray
     k_spec: jnp.ndarray
+    irreg_offset: jnp.ndarray
+    irreg_count: jnp.ndarray
+    merl_offset: jnp.ndarray
     active_lobes: tuple = static_field(default=(L_LAMBERT,))
 
 
@@ -110,6 +121,9 @@ def gather_lane(mt: MaterialTable, idx) -> LaneMaterial:
         eta=mt.eta[i],
         eta_spec=mt.eta_spec[i],
         k_spec=mt.k_spec[i],
+        irreg_offset=mt.irreg_offset[i],
+        irreg_count=mt.irreg_count[i],
+        merl_offset=mt.merl_offset[i],
         active_lobes=mt.active_lobes,
     )
 
@@ -119,10 +133,27 @@ def gather_lane(mt: MaterialTable, idx) -> LaneMaterial:
 # ---------------------------------------------------------------------------
 
 
-def _lobe_f(lobe, lm: LaneMaterial, wo, wi):
-    """f of one lobe code, batched. Delta lobes → 0."""
+def _lobe_f(lobe, lm: LaneMaterial, wo, wi, pools=None):
+    """f of one lobe code, per-lane. Delta lobes → 0. ``pools`` carries the
+    measured-BRDF arrays unmapped through vmap."""
     s = lm.kd.shape[-1]
     zero = jnp.zeros(wo.shape[:-1] + (s,), wo.dtype)
+
+    def irreg():
+        from pbrt_tpu.bsdf import measured as meas
+
+        pts, spectra, _ = pools
+        f_val = meas.irreg_f_one(
+            pts, spectra, lm.irreg_offset, lm.irreg_count, wo, wi
+        )
+        return jnp.where(bxdf.same_hemisphere(wo, wi), f_val, 0.0)
+
+    def merl():
+        from pbrt_tpu.bsdf import measured as meas
+
+        _, _, merl_rgb = pools
+        f_val = meas.merl_f_one(merl_rgb, jnp.maximum(lm.merl_offset, 0), wo, wi, None)
+        return jnp.where(bxdf.same_hemisphere(wo, wi), f_val, 0.0)
 
     def lamb():
         return bxdf.lambertian_f(lm.kd, wo, wi) * bxdf.same_hemisphere(wo, wi)[..., None]
@@ -164,7 +195,7 @@ def _lobe_f(lobe, lm: LaneMaterial, wo, wi):
     all_branches = [
         lamb, oren, blinn_diel, blinn_cond, fres_blend,
         delta, delta, delta, delta,
-        ward, lamb_trans, blinn_trans,
+        ward, lamb_trans, blinn_trans, irreg, merl,
     ]
     branches = [all_branches[code] for code in lm.active_lobes]
     if len(branches) == 1:
@@ -200,7 +231,7 @@ def _lobe_pdf(lobe, lm: LaneMaterial, wo, wi):
     all_branches = [
         cos_pdf, cos_pdf, blinn, blinn, fres_blend,
         zero, zero, zero, zero,
-        ward, lamb_trans, blinn_trans,
+        ward, lamb_trans, blinn_trans, cos_pdf, cos_pdf,
     ]
     branches = [all_branches[code] for code in lm.active_lobes]
     if len(branches) == 1:
@@ -288,6 +319,7 @@ def _lobe_sample(lobe, lm: LaneMaterial, wo, u1, u2):
         cos_sample, cos_sample, blinn_sample, blinn_sample, fres_blend_sample,
         spec_refl("diel"), spec_refl("noop"), spec_refl("cond"), spec_trans,
         ward_sample, lamb_trans_sample, blinn_trans_sample,
+        cos_sample, cos_sample,
     ]
     branches = [all_branches[code] for code in lm.active_lobes]
     if len(branches) == 1:
@@ -300,14 +332,14 @@ def _lobe_sample(lobe, lm: LaneMaterial, wo, u1, u2):
 # ---------------------------------------------------------------------------
 
 
-def _bsdf_f_one(lm: LaneMaterial, wo, wi):
+def _bsdf_f_one(lm: LaneMaterial, wo, wi, pools=None):
     """Per-lane Σ over the material's lobes. Local frame, wo/wi (3,)."""
     s = lm.kd.shape[-1]
     f = jnp.zeros((s,), wo.dtype)
     for slot in range(MAX_LOBES):
         active = slot < lm.n_lobes
         lobe = jnp.maximum(lm.lobe_type[slot], 0)
-        f = f + jnp.where(active, _lobe_f(lobe, lm, wo, wi), 0.0)
+        f = f + jnp.where(active, _lobe_f(lobe, lm, wo, wi, pools), 0.0)
     return f
 
 
@@ -320,23 +352,28 @@ def _bsdf_pdf_one(lm: LaneMaterial, wo, wi):
     return pdf / jnp.maximum(lm.n_lobes.astype(wo.dtype), 1.0)
 
 
-def _bsdf_sample_one(lm: LaneMaterial, wo, u_lobe, u1, u2):
+def _bsdf_sample_one(lm: LaneMaterial, wo, u_lobe, u1, u2, pools=None):
     n = jnp.maximum(lm.n_lobes, 1)
     slot = jnp.minimum((u_lobe * n.astype(u_lobe.dtype)).astype(jnp.int32), n - 1)
     lobe = jnp.maximum(lm.lobe_type[slot], 0)
     wi, pdf_s, f_delta, is_delta = _lobe_sample(lobe, lm, wo, u1, u2)
     nf = n.astype(wo.dtype)
-    f_smooth = _bsdf_f_one(lm, wo, wi)
+    f_smooth = _bsdf_f_one(lm, wo, wi, pools)
     pdf_smooth = _bsdf_pdf_one(lm, wo, wi)
     f = jnp.where(is_delta, f_delta, f_smooth)
     pdf = jnp.where(is_delta, pdf_s / nf, pdf_smooth)
     return wi, f, pdf, is_delta
 
 
-def bsdf_f(lm: LaneMaterial, wo, wi):
+def pools_of(mt: MaterialTable):
+    """Measured-BRDF pools threaded unmapped through the vmapped dispatch."""
+    return (mt.irreg_points, mt.irreg_spectra, mt.merl_rgb)
+
+
+def bsdf_f(lm: LaneMaterial, wo, wi, pools=None):
     """Batched Σ over the material's lobes (R, S). Local frame.
     (reference: BSDF::f, core/reflection.cpp:517-529)."""
-    return jax.vmap(_bsdf_f_one)(lm, wo, wi)
+    return jax.vmap(_bsdf_f_one, in_axes=(0, 0, 0, None))(lm, wo, wi, pools)
 
 
 def bsdf_pdf(lm: LaneMaterial, wo, wi):
@@ -344,11 +381,13 @@ def bsdf_pdf(lm: LaneMaterial, wo, wi):
     return jax.vmap(_bsdf_pdf_one)(lm, wo, wi)
 
 
-def bsdf_sample(lm: LaneMaterial, wo, u_lobe, u1, u2):
+def bsdf_sample(lm: LaneMaterial, wo, u_lobe, u1, u2, pools=None):
     """pbrt BSDF::Sample_f: uniformly pick a lobe, sample it; for non-delta
     lobes re-evaluate f and pdf over ALL lobes
     (reference: core/reflection.cpp:531-600). Returns (wi, f, pdf, is_delta)."""
-    return jax.vmap(_bsdf_sample_one)(lm, wo, u_lobe, u1, u2)
+    return jax.vmap(_bsdf_sample_one, in_axes=(0, 0, 0, 0, 0, None))(
+        lm, wo, u_lobe, u1, u2, pools
+    )
 
 
 def has_delta_only(lm: LaneMaterial):
@@ -402,6 +441,12 @@ def build_material_table(records, config, texture_index=None) -> MaterialTable:
     sigma_tex = np.full(M, -1, np.int32)
     bump_tex = np.full(M, -1, np.int32)
     normal_tex = np.full(M, -1, np.int32)
+    irreg_offset = np.zeros(M, np.int32)
+    irreg_count = np.zeros(M, np.int32)
+    merl_offset = np.full(M, -1, np.int32)
+    irreg_pts_pool = [np.zeros((1, 3), np.float32)]
+    irreg_spec_pool = [np.zeros((1, S), np.float32)]
+    merl_pool = [np.zeros((1, 3), np.float32)]
 
     def tex_id(rec, pname, data_type="spectrum"):
         if texture_index is None:
@@ -533,8 +578,37 @@ def build_material_table(records, config, texture_index=None) -> MaterialTable:
             exp_v[i] = p.find_one_float("alphaV", 0.1)
             lobes.append(L_LAMBERT)
             lobes.append(L_WARD)
+        elif mt == "measured":
+            kind[i] = MEASURED
+            fn = p.find_one_filename("filename", "")
+            loaded = False
+            if fn:
+                from pbrt_tpu.bsdf import measured as meas
+
+                try:
+                    if fn.lower().endswith(".brdf"):
+                        pts, spectra = meas.load_irreg_brdf(fn, config)
+                        irreg_offset[i] = sum(len(x) for x in irreg_pts_pool)
+                        irreg_count[i] = len(pts)
+                        irreg_pts_pool.append(pts)
+                        irreg_spec_pool.append(spectra)
+                        lobes.append(L_IRREG_MEASURED)
+                        loaded = True
+                    else:
+                        rgb = meas.load_merl(fn)
+                        merl_offset[i] = sum(len(x) for x in merl_pool)
+                        merl_pool.append(rgb)
+                        lobes.append(L_MERL_MEASURED)
+                        loaded = True
+                except Exception as e:
+                    import warnings
+
+                    warnings.warn(f"measured BRDF {fn!r}: {e}; matte fallback")
+            if not loaded:
+                kd[i] = 0.5
+                lobes.append(L_LAMBERT)
         else:
-            # unknown / not-yet-supported (measured, subsurface, mix):
+            # unknown / not-yet-supported (subsurface, mix):
             # degrade to matte 0.5 like pbrt warns+falls back (api.cpp:373)
             kind[i] = MATTE
             kd[i] = p.find_one_spectrum("Kd", 0.5)
@@ -562,5 +636,10 @@ def build_material_table(records, config, texture_index=None) -> MaterialTable:
         eta_spec=f(eta_spec), k_spec=f(k_spec),
         kd_tex=f(kd_tex), ks_tex=f(ks_tex), sigma_tex=f(sigma_tex),
         bump_tex=f(bump_tex), normal_tex=f(normal_tex),
+        irreg_offset=f(irreg_offset), irreg_count=f(irreg_count),
+        merl_offset=f(merl_offset),
+        irreg_points=jnp.asarray(np.concatenate(irreg_pts_pool)),
+        irreg_spectra=jnp.asarray(np.concatenate(irreg_spec_pool)),
+        merl_rgb=jnp.asarray(np.concatenate(merl_pool)),
         active_lobes=active,
     )
