@@ -65,6 +65,51 @@ class IntegratorConfig:
     n_bins: int = 32
 
 
+class KeySource:
+    """Uniforms from structural rng keys (default path)."""
+
+    def __init__(self, keys):
+        self.keys = keys
+
+    def get(self, bounce, purpose, n):
+        k = rngmod.bounce_key(self.keys, bounce, purpose)
+        return rngmod.uniform_per(k, n)
+
+
+class PrimarySource:
+    """Uniforms read from an explicit primary-sample vector (R, D) — the
+    Kelemen-style primary sample space used by the Metropolis renderer
+    (reference: renderers/metropolis.{h,cpp} PSS mutations).
+
+    Layout: dims [0:5) camera (image x/y, lens u/v, time); per bounce b a
+    block of 7 at 5 + 7b: [light_sel, light_u1, light_u2, bsdf_lobe,
+    bsdf_u1, bsdf_u2, rr]."""
+
+    CAMERA_DIMS = 5
+    PER_BOUNCE = 7
+    _OFFSETS = {
+        rngmod.LIGHT_SELECT: 0,
+        rngmod.LIGHT_SAMPLE: 1,
+        rngmod.BSDF_SAMPLE: 3,
+        rngmod.ROULETTE: 6,
+    }
+
+    def __init__(self, u):
+        self.u = u
+
+    @staticmethod
+    def n_dims(max_depth: int) -> int:
+        return PrimarySource.CAMERA_DIMS + PrimarySource.PER_BOUNCE * max_depth
+
+    def get(self, bounce, purpose, n):
+        col = (
+            self.CAMERA_DIMS
+            + bounce * self.PER_BOUNCE
+            + self._OFFSETS[purpose]
+        )
+        return jax.lax.dynamic_slice_in_dim(self.u, col, n, axis=1)
+
+
 def _shadow_unoccluded(g: SceneGeometry, p, ng, wi, dist, eps):
     """Trace shadow rays; True where the light sample is visible
     (reference: VisibilityTester::Unoccluded → Scene::IntersectP)."""
@@ -82,7 +127,8 @@ def _shadow_unoccluded(g: SceneGeometry, p, ng, wi, dist, eps):
     return ~hit.valid
 
 
-def _nee_one_light(scene: RenderScene, si, lm, wo_local, frame, keys, bounce, active):
+def _nee_one_light(scene: RenderScene, si, lm, wo_local, frame, source, keys,
+                   bounce, active):
     """One-light NEE with MIS (reference: UniformSampleOneLight +
     EstimateDirect, core/integrator.cpp:74-180). Returns (R, S) estimate
     already multiplied by the light-count factor."""
@@ -91,10 +137,8 @@ def _nee_one_light(scene: RenderScene, si, lm, wo_local, frame, keys, bounce, ac
     if n_lights == 0:
         return jnp.zeros(si.p.shape[:-1] + (scene.materials.kd.shape[-1],))
     ss, ts, ns = frame
-    k_sel = rngmod.bounce_key(keys, bounce, rngmod.LIGHT_SELECT)
-    k_smp = rngmod.bounce_key(keys, bounce, rngmod.LIGHT_SAMPLE)
-    u_sel = rngmod.uniform_per(k_sel, 1)[..., 0]
-    u = rngmod.uniform_per(k_smp, 2)
+    u_sel = source.get(bounce, rngmod.LIGHT_SELECT, 1)[..., 0]
+    u = source.get(bounce, rngmod.LIGHT_SAMPLE, 2)
     light_idx = jnp.minimum((u_sel * n_lights).astype(jnp.int32), n_lights - 1)
     ls = lights_mod.sample_li(lt, scene.geometry, light_idx, si.p, u[..., 0], u[..., 1])
     wi_local = bxdf.world_to_local(ls.wi, ss, ts, ns)
@@ -175,10 +219,13 @@ def apply_textures(scene: RenderScene, si, lm):
     return si, lm
 
 
-def trace_radiance(scene: RenderScene, rays: geom.Ray, keys, cfg: IntegratorConfig):
+def trace_radiance(scene: RenderScene, rays: geom.Ray, keys,
+                   cfg: IntegratorConfig, uniforms=None):
     """Main entry: (R,) wavefront → (L (R, S), first_hit_t (R,)).
 
-    keys: per-path rng key array (R,).
+    keys: per-path rng key array (R,). ``uniforms``: optional (R, D)
+    primary-sample array (Metropolis) — replaces the key-derived uniforms
+    for light/BSDF/RR decisions.
     """
     if cfg.kind == "metadata":
         return _metadata_li(scene, rays, cfg)
@@ -188,6 +235,7 @@ def trace_radiance(scene: RenderScene, rays: geom.Ray, keys, cfg: IntegratorConf
     S = scene.materials.kd.shape[-1]
     R = rays.origin.shape[0]
     n_lights = max(scene.lights.count, 1)
+    source = KeySource(keys) if uniforms is None else PrimarySource(uniforms)
 
     def accumulate_hit(carry_L, ray, hit, si, throughput, alive, specular_bounce,
                        prev_bsdf_pdf):
@@ -264,12 +312,11 @@ def trace_radiance(scene: RenderScene, rays: geom.Ray, keys, cfg: IntegratorConf
         delta_only = mat_mod.has_delta_only(lm)
         nee_active = alive & (~delta_only)
         L = L + throughput * _nee_one_light(
-            scene, si, lm, wo_local, frame, keys, bounce, nee_active
+            scene, si, lm, wo_local, frame, source, keys, bounce, nee_active
         )
 
         # --- sample BSDF for continuation --------------------------------
-        k_b = rngmod.bounce_key(keys, bounce, rngmod.BSDF_SAMPLE)
-        ub = rngmod.uniform_per(k_b, 3)
+        ub = source.get(bounce, rngmod.BSDF_SAMPLE, 3)
         wi_local, f, pdf, is_delta = mat_mod.bsdf_sample(
             lm, wo_local, ub[..., 0], ub[..., 1], ub[..., 2],
             mat_mod.pools_of(scene.materials),
@@ -294,8 +341,7 @@ def trace_radiance(scene: RenderScene, rays: geom.Ray, keys, cfg: IntegratorConf
         if cfg.kind == "path":
             ty = spec.luminance(throughput)
             cont_p = jnp.minimum(0.5, ty)
-            k_rr = rngmod.bounce_key(keys, bounce, rngmod.ROULETTE)
-            u_rr = rngmod.uniform_per(k_rr, 1)[..., 0]
+            u_rr = source.get(bounce, rngmod.ROULETTE, 1)[..., 0]
             rr_on = bounce > cfg.rr_depth
             survive = (~rr_on) | (u_rr < cont_p)
             throughput = jnp.where(

@@ -33,6 +33,12 @@ def render_scene(built, spp=None, seed=0, quick=False, verbose=True, outfile=Non
         ):
             outputs += write_outputs(built, state, outfile, suffix=suffix)
         return outputs
+    elif name == "metropolis":
+        from pbrt_tpu.renderers.metropolis import render_metropolis
+
+        state = render_metropolis(
+            built, spp=spp, seed=seed, quick=quick, verbose=verbose
+        )
     elif name == "aggregatetest":
         from pbrt_tpu.renderers.aggregatetest import run_aggregate_test
 
