@@ -48,8 +48,10 @@ class RenderScene:
     lights: lights_mod.LightTable
     textures: object = None  # TextureTable or None
     volumes: object = None  # VolumeTable or None
+    subsurface: object = None  # SubsurfaceData (dipole preprocess product)
     has_textures: bool = static_field(default=False)
     has_volumes: bool = static_field(default=False)
+    has_subsurface: bool = static_field(default=False)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -315,6 +317,28 @@ def trace_radiance(scene: RenderScene, rays: geom.Ray, keys,
             scene, si, lm, wo_local, frame, source, keys, bounce, nee_active
         )
 
+        # --- dipole BSSRDF diffusion term --------------------------------
+        # (reference: DipoleSubsurfaceIntegrator::Li — (1/π)·Ft·Mo)
+        if cfg.kind == "dipolesubsurface" and scene.has_subsurface:
+            from pbrt_tpu.integrators import dipole as dip
+            from pbrt_tpu.materials.table import SUBSURFACE, KDSUBSURFACE
+
+            mk = scene.materials.kind[jnp.maximum(si.material, 0)]
+            is_ss = alive & ((mk == SUBSURFACE) | (mk == KDSUBSURFACE))
+            mo = dip.mo_gather(
+                scene.subsurface, scene.materials, si.p, si.material
+            )
+            cos_o = bxdf.abs_cos_theta(wo_local)
+            ft = 1.0 - bxdf.fresnel_dielectric(
+                cos_o, 1.0, scene.materials.eta[jnp.maximum(si.material, 0)]
+            )
+            scale_ss = scene.materials.ss_scale[jnp.maximum(si.material, 0)]
+            L = L + jnp.where(
+                is_ss[..., None],
+                throughput * mo * (ft * scale_ss / jnp.pi)[..., None],
+                0.0,
+            )
+
         # --- sample BSDF for continuation --------------------------------
         ub = source.get(bounce, rngmod.BSDF_SAMPLE, 3)
         wi_local, f, pdf, is_delta = mat_mod.bsdf_sample(
@@ -324,7 +348,7 @@ def trace_radiance(scene: RenderScene, rays: geom.Ray, keys,
         wi_world = bxdf.local_to_world(wi_local, ss, ts, si.ns)
         cos_i = geom.absdot(wi_world, si.ns)
         ok = alive & (pdf > 0.0) & jnp.any(f > 0.0, axis=-1)
-        if cfg.kind in ("directlighting", "whitted"):
+        if cfg.kind in ("directlighting", "whitted", "dipolesubsurface"):
             # only specular recursion continues (reference:
             # directlighting.cpp Li → SpecularReflect/Transmit)
             ok = ok & is_delta

@@ -77,6 +77,10 @@ class MaterialTable:
     irreg_points: jnp.ndarray  # (P, 3)
     irreg_spectra: jnp.ndarray  # (P, S)
     merl_rgb: jnp.ndarray  # (Q, 3)
+    # subsurface scattering parameters (dipole BSSRDF)
+    ss_sigma_a: jnp.ndarray  # (M, S)
+    ss_sigma_s: jnp.ndarray  # (M, S) reduced scattering σ's
+    ss_scale: jnp.ndarray  # (M,)
     active_lobes: tuple = static_field(default=(L_LAMBERT,))
 
     @property
@@ -411,6 +415,21 @@ def has_delta_only(lm: LaneMaterial):
 # Host-side table construction from MaterialRecords
 # ---------------------------------------------------------------------------
 
+# Jensen et al. 2001 measured scattering media (σa, σ'_s RGB, mm⁻¹) —
+# published values; the reference ships the same media table
+# (core/volume.cpp GetVolumeScatteringProperties).
+_NAMED_MEDIA = {
+    "Marble": ((0.0021, 0.0041, 0.0071), (2.19, 2.62, 3.00)),
+    "Skin1": ((0.032, 0.17, 0.48), (0.74, 0.88, 1.01)),
+    "Skin2": ((0.013, 0.070, 0.145), (1.09, 1.59, 1.79)),
+    "Cream": ((0.0002, 0.0028, 0.0163), (7.38, 5.47, 3.15)),
+    "Ketchup": ((0.061, 0.97, 1.45), (0.18, 0.07, 0.03)),
+    "Wholemilk": ((0.0011, 0.0024, 0.014), (2.55, 3.21, 3.77)),
+    "Skimmilk": ((0.0014, 0.0025, 0.0142), (0.70, 1.22, 1.90)),
+    "Spectralon": ((0.00001, 0.00001, 0.00001), (11.6, 20.4, 14.9)),
+}
+
+
 # Approximate copper eta/k (Johnson & Christy 1972 order of magnitude),
 # the reference defaults metal to measured copper tables (metal.cpp:30-80).
 _COPPER_LAM = [400.0, 450.0, 500.0, 550.0, 600.0, 650.0, 700.0]
@@ -444,6 +463,9 @@ def build_material_table(records, config, texture_index=None) -> MaterialTable:
     irreg_offset = np.zeros(M, np.int32)
     irreg_count = np.zeros(M, np.int32)
     merl_offset = np.full(M, -1, np.int32)
+    ss_sigma_a = np.zeros((M, S), np.float32)
+    ss_sigma_s = np.zeros((M, S), np.float32)
+    ss_scale = np.ones(M, np.float32)
     irreg_pts_pool = [np.zeros((1, 3), np.float32)]
     irreg_spec_pool = [np.zeros((1, S), np.float32)]
     merl_pool = [np.zeros((1, 3), np.float32)]
@@ -578,6 +600,31 @@ def build_material_table(records, config, texture_index=None) -> MaterialTable:
             exp_v[i] = p.find_one_float("alphaV", 0.1)
             lobes.append(L_LAMBERT)
             lobes.append(L_WARD)
+        elif mt in ("subsurface", "kdsubsurface"):
+            # (reference: materials/subsurface.cpp, kdsubsurface.cpp) —
+            # Jensen-style named media or explicit sigma_a/sigma_prime_s.
+            kind[i] = SUBSURFACE if mt == "subsurface" else KDSUBSURFACE
+            eta[i] = p.find_one_float("index", 1.3)
+            ss_scale[i] = p.find_one_float("scale", 1.0)
+            named = p.find_one_string("name", "")
+            sa_def, sps_def = _NAMED_MEDIA.get(named, ((0.0011, 0.0024, 0.014),
+                                                       (2.55, 3.21, 3.77)))
+            if mt == "kdsubsurface":
+                # kd + meanfreepath parameterization (kdsubsurface.cpp):
+                # approximate inversion to sigma_a / sigma_prime_s
+                kd_v = p.find_one_spectrum("Kd", 0.5)
+                mfp = p.find_one_float("meanfreepath", 1.0)
+                sigt = 1.0 / max(mfp, 1e-6)
+                ss_sigma_s[i] = np.clip(kd_v, 0.0, 0.999) * sigt
+                ss_sigma_a[i] = sigt - ss_sigma_s[i]
+            else:
+                ss_sigma_a[i] = p.find_one_spectrum("sigma_a", np.asarray(sa_def))
+                ss_sigma_s[i] = p.find_one_spectrum(
+                    "sigma_prime_s", np.asarray(sps_def)
+                )
+            kr[i] = p.find_one_spectrum("Kr", 1.0)
+            if kr[i].any():
+                lobes.append(L_SPEC_REFL_DIEL)
         elif mt == "measured":
             kind[i] = MEASURED
             fn = p.find_one_filename("filename", "")
@@ -641,5 +688,6 @@ def build_material_table(records, config, texture_index=None) -> MaterialTable:
         irreg_points=jnp.asarray(np.concatenate(irreg_pts_pool)),
         irreg_spectra=jnp.asarray(np.concatenate(irreg_spec_pool)),
         merl_rgb=jnp.asarray(np.concatenate(merl_pool)),
+        ss_sigma_a=f(ss_sigma_a), ss_sigma_s=f(ss_sigma_s), ss_scale=f(ss_scale),
         active_lobes=active,
     )

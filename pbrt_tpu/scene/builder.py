@@ -387,6 +387,7 @@ def build(desc: SceneDescription) -> BuiltScene:
         "whitted": "whitted",
         "ambientocclusion": "ambientocclusion",
         "metadata": "metadata",
+        "dipolesubsurface": "dipolesubsurface",
     }.get(integ_name, "path")
     vol_name = desc.volume_integrator[0]
     vol_kind = {"emission": "emission", "single": "single"}.get(vol_name, "emission")
@@ -400,6 +401,25 @@ def build(desc: SceneDescription) -> BuiltScene:
         volume_kind=vol_kind,
         n_bins=S,
     )
+
+    # dipole subsurface preprocess (reference: Preprocess →
+    # FindPoissonPointDistribution + irradiance, dipolesubsurface.cpp:189)
+    if ikind == "dipolesubsurface":
+        from pbrt_tpu.integrators.dipole import prepare_subsurface
+
+        ssdata = prepare_subsurface(
+            BuiltScene(
+                scene=scene, camera=camera, film_config=film_cfg,
+                filter_table=filt.table(), sampler_name=sampler_name,
+                pixel_samples=spp, integrator=integrator,
+                renderer_name=desc.renderer[0],
+                renderer_params=desc.renderer[1], description=desc,
+            )
+        )
+        if ssdata is not None:
+            scene = dataclasses.replace(
+                scene, subsurface=ssdata, has_subsurface=True
+            )
 
     return BuiltScene(
         scene=scene,
