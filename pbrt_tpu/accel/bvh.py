@@ -147,7 +147,13 @@ def _build_bvh_python(
         axis = int(np.argmax(chi - clo))
         axis_list[me] = axis
         if chi[axis] - clo[axis] < 1e-12:
-            make_leaf()
+            if len(idx) <= max_prims_in_node:
+                make_leaf()
+                return me
+            h = len(idx) // 2
+            build(idx[:h])
+            second_list[me] = build(idx[h:])
+            count_list[me] = 0
             return me
 
         if method == "middle":

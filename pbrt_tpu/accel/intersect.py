@@ -31,6 +31,10 @@ from pbrt_tpu.core import geometry as geom
 from pbrt_tpu.utils import pytree_dataclass, static_field
 
 MAX_STACK = 64
+#: leaves are guaranteed ≤ this many prims by both BVH builders — the leaf
+#: test loop unrolls statically (a dynamic trip count under vmap would force
+#: JAX to broadcast the whole scene per-ray)
+MAX_LEAF = 4
 
 # quadric type codes
 SPHERE, CYLINDER, DISK, CONE, PARABOLOID, HYPERBOLOID = 0, 1, 2, 3, 4, 5
@@ -332,33 +336,18 @@ def _traverse_one(g: SceneGeometry, o, d, tmin, tmax, any_hit: bool):
         count = g.node_count[node]
         is_leaf = count > 0
 
-        # --- leaf: test primitives [offset, offset+count) ---
-        def leaf_fn(carry):
-            t_best, prim_best, b1b, b2b = carry
-            offset = g.node_second[node]
-
-            def prim_body(i, c):
-                tb, pb, x1, x2 = c
-                p = g.prim_order[offset + i]
-                h, t, u1, u2 = test_prim(p, tmin, tb)
-                better = h & (t < tb)
-                return (
-                    jnp.where(better, t, tb),
-                    jnp.where(better, p, pb),
-                    jnp.where(better, u1, x1),
-                    jnp.where(better, u2, x2),
-                )
-
-            return jax.lax.fori_loop(
-                0, count, prim_body, (t_best, prim_best, b1b, b2b)
-            )
-
-        t_best, prim_best, b1b, b2b = jax.lax.cond(
-            hit_box & is_leaf,
-            leaf_fn,
-            lambda c: c,
-            (t_best, prim_best, b1b, b2b),
-        )
+        # --- leaf: test primitives, static MAX_LEAF unroll ---
+        offset = g.node_second[node]
+        do_leaf = hit_box & is_leaf
+        for i in range(MAX_LEAF):
+            in_leaf = do_leaf & (i < count)
+            p = g.prim_order[jnp.minimum(offset + i, g.prim_order.shape[0] - 1)]
+            h, t, u1, u2 = test_prim(p, tmin, t_best)
+            better = in_leaf & h & (t < t_best)
+            t_best = jnp.where(better, t, t_best)
+            prim_best = jnp.where(better, p, prim_best)
+            b1b = jnp.where(better, u1, b1b)
+            b2b = jnp.where(better, u2, b2b)
 
         # --- interior: push children, near child on top ---
         push = hit_box & (~is_leaf)

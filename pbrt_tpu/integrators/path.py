@@ -49,9 +49,11 @@ class RenderScene:
     textures: object = None  # TextureTable or None
     volumes: object = None  # VolumeTable or None
     subsurface: object = None  # SubsurfaceData (dipole preprocess product)
+    vpls: object = None  # VPLSet (IGI preprocess product)
     has_textures: bool = static_field(default=False)
     has_volumes: bool = static_field(default=False)
     has_subsurface: bool = static_field(default=False)
+    has_vpls: bool = static_field(default=False)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -317,6 +319,19 @@ def trace_radiance(scene: RenderScene, rays: geom.Ray, keys,
             scene, si, lm, wo_local, frame, source, keys, bounce, nee_active
         )
 
+        # --- IGI: virtual point light gathering --------------------------
+        if cfg.kind == "igi" and scene.has_vpls:
+            from pbrt_tpu.integrators import igi as igi_mod
+
+            vk = rngmod.bounce_key(keys, bounce, rngmod.PHOTON)
+            L = L + throughput * jnp.where(
+                nee_active[..., None],
+                igi_mod.vpl_lighting(
+                    scene, scene.vpls, si, lm, wo_local, frame, vk
+                ),
+                0.0,
+            )
+
         # --- dipole BSSRDF diffusion term --------------------------------
         # (reference: DipoleSubsurfaceIntegrator::Li — (1/π)·Ft·Mo)
         if cfg.kind == "dipolesubsurface" and scene.has_subsurface:
@@ -348,7 +363,7 @@ def trace_radiance(scene: RenderScene, rays: geom.Ray, keys,
         wi_world = bxdf.local_to_world(wi_local, ss, ts, si.ns)
         cos_i = geom.absdot(wi_world, si.ns)
         ok = alive & (pdf > 0.0) & jnp.any(f > 0.0, axis=-1)
-        if cfg.kind in ("directlighting", "whitted", "dipolesubsurface"):
+        if cfg.kind in ("directlighting", "whitted", "dipolesubsurface", "igi"):
             # only specular recursion continues (reference:
             # directlighting.cpp Li → SpecularReflect/Transmit)
             ok = ok & is_delta

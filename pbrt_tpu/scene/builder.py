@@ -388,6 +388,7 @@ def build(desc: SceneDescription) -> BuiltScene:
         "ambientocclusion": "ambientocclusion",
         "metadata": "metadata",
         "dipolesubsurface": "dipolesubsurface",
+        "igi": "igi",
     }.get(integ_name, "path")
     vol_name = desc.volume_integrator[0]
     vol_kind = {"emission": "emission", "single": "single"}.get(vol_name, "emission")
@@ -401,6 +402,15 @@ def build(desc: SceneDescription) -> BuiltScene:
         volume_kind=vol_kind,
         n_bins=S,
     )
+
+    # IGI preprocess: generate the VPL sets (reference: igi.cpp Preprocess)
+    if ikind == "igi":
+        from pbrt_tpu.integrators.igi import generate_vpls
+
+        n_vpl_paths = integ_params.find_one_int("nlights", 64) * 4
+        vpls = generate_vpls(scene, n_paths=max(n_vpl_paths, 256),
+                             max_depth=integ_params.find_one_int("maxdepth", 5))
+        scene = dataclasses.replace(scene, vpls=vpls, has_vpls=True)
 
     # dipole subsurface preprocess (reference: Preprocess →
     # FindPoissonPointDistribution + irradiance, dipolesubsurface.cpp:189)

@@ -93,7 +93,18 @@ int build(BuildCtx& c, int* idx, int count) {
   for (int a = 1; a < 3; ++a)
     if (chi[a] - clo[a] > ext) { ext = chi[a] - clo[a]; axis = a; }
   c.node_axis[me] = axis;
-  if (ext < 1e-12) return make_leaf();
+  if (ext < 1e-12) {
+    // degenerate centroids: keep leaves bounded (the traversal unrolls
+    // leaf tests statically over max_prims_in_node lanes)
+    if (count <= c.max_prims_in_node) return make_leaf();
+    int mid = count / 2;
+    if (build(c, idx, mid) < 0) return -1;
+    int second = build(c, idx + mid, count - mid);
+    if (second < 0) return -1;
+    c.node_second[me] = second;
+    c.node_count[me] = 0;
+    return me;
+  }
 
   // 16-bucket binned SAH (reference: bvh.cpp:88-100)
   int counts[kBuckets] = {0};
@@ -147,6 +158,7 @@ int build(BuildCtx& c, int* idx, int count) {
   }
   if (best < 0) {
     // all centroids in one bucket — median split
+    if (count <= c.max_prims_in_node) return make_leaf();
     std::nth_element(idx, idx + count / 2, idx + count,
                      [&](int a, int b2) { return cs[axis][a] < cs[axis][b2]; });
     int mid = count / 2;
