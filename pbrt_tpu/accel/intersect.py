@@ -296,19 +296,25 @@ def _traverse_one(g: SceneGeometry, o, d, tmin, tmax, any_hit: bool):
     dir_neg = (d < 0.0).astype(jnp.int32)  # (3,)
 
     def test_prim(p, tmin_, tbest):
+        # NOTE: no lax.cond here — under vmap a batched-predicate cond is
+        # rewritten to select_n with every closed-over array broadcast
+        # per-lane (a rays × triangles blowup). Masked evaluation of both
+        # cheap tests is branch-free and keeps the scene arrays shared.
         if Q == 0:
             return _tri_test(g, p, o, d, tmin_, tbest)
         if T == 0:
             return _quad_test(g, p, o, d, tmin_, tbest)
         is_tri = p < T
-
-        def tri_branch(_):
-            return _tri_test(g, jnp.minimum(p, T - 1), o, d, tmin_, tbest)
-
-        def quad_branch(_):
-            return _quad_test(g, jnp.maximum(p - T, 0), o, d, tmin_, tbest)
-
-        return jax.lax.cond(is_tri, tri_branch, quad_branch, None)
+        ht, tt_, b1t, b2t = _tri_test(g, jnp.minimum(p, T - 1), o, d, tmin_, tbest)
+        hq, tq_, b1q, b2q = _quad_test(
+            g, jnp.clip(p - T, 0, Q - 1), o, d, tmin_, tbest
+        )
+        return (
+            jnp.where(is_tri, ht, hq),
+            jnp.where(is_tri, tt_, tq_),
+            jnp.where(is_tri, b1t, b1q),
+            jnp.where(is_tri, b2t, b2q),
+        )
 
     State = tuple  # (sp, stack, t_best, prim_best, b1, b2)
     stack0 = jnp.zeros(MAX_STACK, jnp.int32)
@@ -409,12 +415,14 @@ def intersect_brute(g: SceneGeometry, ray: geom.Ray) -> Hit:
             elif T == 0:
                 h, t, u1, u2 = _quad_test(g, p, o, d, tmin, tb)
             else:
-                h, t, u1, u2 = jax.lax.cond(
-                    is_tri,
-                    lambda _: _tri_test(g, jnp.minimum(p, T - 1), o, d, tmin, tb),
-                    lambda _: _quad_test(g, jnp.maximum(p - T, 0), o, d, tmin, tb),
-                    None,
+                ht, tt_, b1t, b2t = _tri_test(g, jnp.minimum(p, T - 1), o, d, tmin, tb)
+                hq, tq_, b1q, b2q = _quad_test(
+                    g, jnp.clip(p - T, 0, g.num_quadrics - 1), o, d, tmin, tb
                 )
+                h = jnp.where(is_tri, ht, hq)
+                t = jnp.where(is_tri, tt_, tq_)
+                u1 = jnp.where(is_tri, b1t, b1q)
+                u2 = jnp.where(is_tri, b2t, b2q)
             better = h & (t < tb)
             return (
                 jnp.where(better, t, tb),

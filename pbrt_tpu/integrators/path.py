@@ -50,10 +50,13 @@ class RenderScene:
     volumes: object = None  # VolumeTable or None
     subsurface: object = None  # SubsurfaceData (dipole preprocess product)
     vpls: object = None  # VPLSet (IGI preprocess product)
+    photons: object = None  # PhotonMaps (photonmap preprocess product)
+    probes: object = None  # ProbeGrid (useprobes input / createprobes output)
     has_textures: bool = static_field(default=False)
     has_volumes: bool = static_field(default=False)
     has_subsurface: bool = static_field(default=False)
     has_vpls: bool = static_field(default=False)
+    has_photons: bool = static_field(default=False)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -235,6 +238,14 @@ def trace_radiance(scene: RenderScene, rays: geom.Ray, keys,
         return _metadata_li(scene, rays, cfg)
     if cfg.kind == "ambientocclusion":
         return _ao_li(scene, rays, keys, cfg)
+    if cfg.kind == "irradiancecache":
+        from pbrt_tpu.integrators.irradiance import irradiance_cache_li
+
+        return irradiance_cache_li(scene, rays, keys, cfg)
+    if cfg.kind == "useprobes":
+        from pbrt_tpu.integrators.irradiance import useprobes_li
+
+        return useprobes_li(scene, rays, keys, cfg, scene.probes)
 
     S = scene.materials.kd.shape[-1]
     R = rays.origin.shape[0]
@@ -319,6 +330,17 @@ def trace_radiance(scene: RenderScene, rays: geom.Ray, keys,
             scene, si, lm, wo_local, frame, source, keys, bounce, nee_active
         )
 
+        # --- photon mapping: caustic + indirect density estimation --------
+        if cfg.kind == "photonmap" and scene.has_photons:
+            from pbrt_tpu.integrators import photonmap as pm
+
+            lpho = pm.radiance_estimate(
+                scene.photons, scene, si, lm, wo_local, frame
+            )
+            L = L + jnp.where(
+                nee_active[..., None], throughput * lpho, 0.0
+            )
+
         # --- IGI: virtual point light gathering --------------------------
         if cfg.kind == "igi" and scene.has_vpls:
             from pbrt_tpu.integrators import igi as igi_mod
@@ -363,7 +385,8 @@ def trace_radiance(scene: RenderScene, rays: geom.Ray, keys,
         wi_world = bxdf.local_to_world(wi_local, ss, ts, si.ns)
         cos_i = geom.absdot(wi_world, si.ns)
         ok = alive & (pdf > 0.0) & jnp.any(f > 0.0, axis=-1)
-        if cfg.kind in ("directlighting", "whitted", "dipolesubsurface", "igi"):
+        if cfg.kind in ("directlighting", "whitted", "dipolesubsurface",
+                        "igi", "photonmap"):
             # only specular recursion continues (reference:
             # directlighting.cpp Li → SpecularReflect/Transmit)
             ok = ok & is_delta

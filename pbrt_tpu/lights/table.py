@@ -225,7 +225,17 @@ def _sample_area(lt: LightTable, g, li, p, u1, u2):
         return mesh_case()
     if not has_tris:
         return sphere_case()
-    return jax.lax.cond(is_sphere, sphere_case, mesh_case)
+    # NOTE: masked evaluation instead of lax.cond — a batched-predicate cond
+    # under vmap broadcasts the closed-over scene arrays per-lane
+    ws, Ls, ps, ds, _ = sphere_case()
+    wm, Lm, pm, dm, _ = mesh_case()
+    return (
+        jnp.where(is_sphere, ws, wm),
+        jnp.where(is_sphere, Ls, Lm),
+        jnp.where(is_sphere, ps, pm),
+        jnp.where(is_sphere, ds, dm),
+        False,
+    )
 
 
 def smp_phi(w):
@@ -262,7 +272,15 @@ def _sample_infinite(lt: LightTable, li, p, u1, u2):
             False,
         )
 
-    return jax.lax.cond(has_env, env_case, const_case)
+    we, Le, pe, de, _ = env_case()
+    wc, Lc, pc, dc, _ = const_case()
+    return (
+        jnp.where(has_env, we, wc),
+        jnp.where(has_env, Le, Lc),
+        jnp.where(has_env, pe, pc),
+        jnp.where(has_env, de, dc),
+        False,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -310,7 +328,7 @@ def pdf_li(lt: LightTable, g, light_idx, p, wi):
 
             if g.num_quadrics == 0:
                 return mesh_case()
-            return jax.lax.cond(is_sphere, sphere_case, mesh_case)
+            return jnp.where(is_sphere, sphere_case(), mesh_case())
 
         def inf_pdf():
             has_env = lt.env_id[li] >= 0
@@ -326,8 +344,8 @@ def pdf_li(lt: LightTable, g, light_idx, p, wi):
                     2.0 * jnp.pi * jnp.pi * jnp.sin(theta), 1e-9
                 )
 
-            return jax.lax.cond(
-                has_env, env_case, lambda: jnp.float32(smp.UNIFORM_SPHERE_PDF)
+            return jnp.where(
+                has_env, env_case(), jnp.float32(smp.UNIFORM_SPHERE_PDF)
             )
 
         t = lt.type[li]
@@ -408,7 +426,7 @@ def pdf_li_hit(lt: LightTable, g, light_idx, p_shade, wi, t_hit, n_light):
         elif g.num_triangles == 0:
             pdf = sphere_case()
         else:
-            pdf = jax.lax.cond(is_sphere, sphere_case, mesh_case)
+            pdf = jnp.where(is_sphere, sphere_case(), mesh_case())
         return jnp.where(li >= 0, pdf, 0.0)
 
     return jax.vmap(one)(light_idx, p_shade, wi, t_hit, n_light)

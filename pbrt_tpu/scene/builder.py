@@ -389,6 +389,14 @@ def build(desc: SceneDescription) -> BuiltScene:
         "metadata": "metadata",
         "dipolesubsurface": "dipolesubsurface",
         "igi": "igi",
+        "photonmap": "photonmap",
+        "exphotonmap": "photonmap",
+        "irradiancecache": "irradiancecache",
+        "useprobes": "useprobes",
+        # PRT tiers approximated by the exact hemispherical gather the
+        # irradiance cache interpolates (documented divergence)
+        "diffuseprt": "irradiancecache",
+        "glossyprt": "irradiancecache",
     }.get(integ_name, "path")
     vol_name = desc.volume_integrator[0]
     vol_kind = {"emission": "emission", "single": "single"}.get(vol_name, "emission")
@@ -411,6 +419,40 @@ def build(desc: SceneDescription) -> BuiltScene:
         vpls = generate_vpls(scene, n_paths=max(n_vpl_paths, 256),
                              max_depth=integ_params.find_one_int("maxdepth", 5))
         scene = dataclasses.replace(scene, vpls=vpls, has_vpls=True)
+
+    # useprobes: load + grid the probe file (reference: useprobes.cpp)
+    if ikind == "useprobes":
+        pf = integ_params.find_one_filename("filename", "")
+        if pf:
+            from pbrt_tpu.renderers.probes import read_probe_file
+            from pbrt_tpu.integrators.irradiance import ProbeGrid
+
+            lmax_p, lo_p, hi_p, dims_p, coeffs_p = read_probe_file(pf, S)
+            grid = coeffs_p.reshape(dims_p + coeffs_p.shape[1:])
+            scene = dataclasses.replace(
+                scene,
+                probes=ProbeGrid(
+                    lo=jnp.asarray(lo_p, jnp.float32),
+                    hi=jnp.asarray(hi_p, jnp.float32),
+                    coeffs=jnp.asarray(grid),
+                    lmax=lmax_p,
+                ),
+            )
+        else:
+            warnings.warn("useprobes without a probe file; falling back to "
+                          "irradiancecache behavior")
+            integrator = dataclasses.replace(integrator, kind="irradiancecache")
+
+    # photon map preprocess (reference: photonmap.cpp Preprocess)
+    if ikind == "photonmap":
+        from pbrt_tpu.integrators.photonmap import shoot_photons
+
+        n_ind = integ_params.find_one_int("indirectphotons", 100000)
+        photons = shoot_photons(
+            scene, n_paths=min(max(n_ind // 16, 1024), 8192),
+            max_depth=integ_params.find_one_int("maxphotondepth", 5),
+        )
+        scene = dataclasses.replace(scene, photons=photons, has_photons=True)
 
     # dipole subsurface preprocess (reference: Preprocess →
     # FindPoissonPointDistribution + irradiance, dipolesubsurface.cpp:189)

@@ -1,0 +1,42 @@
+"""Photon map: shooting deposits photons; integrator adds indirect light."""
+
+import numpy as np
+
+from pbrt_tpu.renderers.sampler import render
+from pbrt_tpu.scene.api import load_scene_string
+from pbrt_tpu.scene.builder import build
+
+SCENE = """
+LookAt 0 1 -4  0 1 0  0 1 0
+Camera "perspective" "float fov" [55]
+Film "image" "integer xresolution" [10] "integer yresolution" [10]
+Sampler "lowdiscrepancy" "integer pixelsamples" [2]
+SurfaceIntegrator "photonmap" "integer indirectphotons" [20000]
+WorldBegin
+AttributeBegin
+  Translate 0 3.5 0
+  AreaLightSource "area" "rgb L" [30 30 30]
+  Material "matte" "color Kd" [0 0 0]
+  Shape "sphere" "float radius" [.4]
+AttributeEnd
+Material "matte" "color Kd" [.7 .7 .7]
+Shape "trianglemesh" "point P" [-4 0 -4  4 0 -4  4 0 4  -4 0 4]
+  "integer indices" [0 1 2 2 3 0]
+Material "matte" "color Kd" [.2 .2 .8]
+Shape "trianglemesh" "point P" [-4 0 3  4 0 3  4 4 3  -4 4 3]
+  "integer indices" [0 1 2 2 3 0]
+WorldEnd
+"""
+
+
+def test_photon_shooting_and_render():
+    built = build(load_scene_string(SCENE))
+    assert built.scene.has_photons
+    ph = built.scene.photons
+    assert int(np.asarray(ph.valid).sum()) > 50
+    state = render(built, verbose=False)
+    img = np.asarray(state.pixels) / np.maximum(
+        np.asarray(state.weight)[..., None], 1e-9
+    )
+    assert np.isfinite(img).all()
+    assert img.mean() > 0
