@@ -115,16 +115,30 @@ def _render_wave_jit(
 
 
 def render(built, spp=None, seed: int = 0, chunk_pixels: int | None = None,
-           verbose: bool = True, quick: bool = False):
+           verbose: bool = True, quick: bool = False,
+           checkpoint_path: str | None = None, checkpoint_every: int = 8):
     """Full render: all sample waves × pixel chunks → final FilmState.
 
     ``quick`` mimics the reference --quick flag (spp → 1).
+    ``checkpoint_path``: save film + wave counter every ``checkpoint_every``
+    waves and resume from it if present (rng keys are structural, so the
+    resumed result is bit-identical to an uninterrupted run).
     """
     cfg = built.film_config
     icfg = built.integrator
     spp = spp if spp is not None else built.pixel_samples
     if quick:
         spp = 1
+    start_sample = 0
+    resumed_state = None
+    if checkpoint_path:
+        from pbrt_tpu.film.checkpoint import load_checkpoint
+
+        ck = load_checkpoint(checkpoint_path)
+        if ck is not None and ck[2] == seed:
+            resumed_state, start_sample, _ = ck
+            if verbose and start_sample > 0:
+                print(f"[pbrt_tpu] resuming at sample {start_sample}/{spp}")
     x0, x1, y0, y1 = cfg.pixel_bounds
     xs = np.arange(x0, x1, dtype=np.int32)
     ys = np.arange(y0, y1, dtype=np.int32)
@@ -140,15 +154,11 @@ def render(built, spp=None, seed: int = 0, chunk_pixels: int | None = None,
         all_y = np.concatenate([all_y, np.full(pad, y0, np.int32)])
     n_chunks = len(all_x) // chunk
 
-    film_state = film_mod.init_film(cfg)
-    # padded lanes replay pixel (x0, y0); divide their weight back out by
-    # masking: render them but scatter with zero weight via a mask trick —
-    # simplest correct approach: drop padding by rendering it into a
-    # sacrificial film when pad > 0.
+    film_state = resumed_state if resumed_state is not None else film_mod.init_film(cfg)
     root = rngmod.root_key(seed)
     table = jnp.asarray(built.filter_table)
     t_start = time.time()
-    for s in range(spp):
+    for s in range(start_sample, spp):
         for c in range(n_chunks):
             cx = jnp.asarray(all_x[c * chunk : (c + 1) * chunk])
             cy = jnp.asarray(all_y[c * chunk : (c + 1) * chunk])
@@ -166,6 +176,11 @@ def render(built, spp=None, seed: int = 0, chunk_pixels: int | None = None,
             done = (s + 1) / spp
             print(f"\r[pbrt_tpu] sample {s+1}/{spp} ({el:5.1f}s, "
                   f"eta {el/done*(1-done):5.1f}s)", end="", flush=True)
+        if checkpoint_path and ((s + 1) % checkpoint_every == 0 or s + 1 == spp):
+            from pbrt_tpu.film.checkpoint import save_checkpoint
+
+            jax.block_until_ready(film_state.pixels)
+            save_checkpoint(checkpoint_path, film_state, s + 1, seed)
     jax.block_until_ready(film_state.pixels)
     if verbose:
         print(f"\n[pbrt_tpu] render done in {time.time()-t_start:.2f}s")
