@@ -52,19 +52,24 @@ def main():
     built.integrator = IntegratorConfig(kind="path", max_depth=5, n_bins=32)
 
     cfg = built.film_config
+    chunk = int(os.environ.get("BENCH_CHUNK", str(1 << 16)))
     ys, xs = np.divmod(np.arange(res * res, dtype=np.int32), res)
-    px = jnp.asarray(xs)
-    py = jnp.asarray(ys)
     root = rngmod.root_key(0)
     table = jnp.asarray(built.filter_table)
     film_state = film_mod.init_film(cfg)
+    n_chunks = max(1, (res * res) // chunk)
+    chunk = res * res // n_chunks
 
     def wave(state, s):
-        return _render_wave_jit(
-            state, built.scene, built.camera, table, px, py,
-            jnp.int32(s), root, built.integrator, built.sampler_name,
-            waves, cfg,
-        )
+        for c in range(n_chunks):
+            sl = slice(c * chunk, (c + 1) * chunk)
+            state = _render_wave_jit(
+                state, built.scene, built.camera, table,
+                jnp.asarray(xs[sl]), jnp.asarray(ys[sl]),
+                jnp.int32(s), root, built.integrator, built.sampler_name,
+                waves, cfg,
+            )
+        return state
 
     # warmup / compile
     film_state = wave(film_state, 0)

@@ -73,6 +73,11 @@ class SceneGeometry:
     prim_order: jnp.ndarray  # (P,) i32
     world_lo: jnp.ndarray  # (3,)
     world_hi: jnp.ndarray  # (3,)
+    #: packed hot data: one gather per node / per triangle in the traversal
+    #: node_packed: [lo.xyz, hi.xyz, bitcast(second), bitcast(count*4+axis)]
+    node_packed: jnp.ndarray = None  # (N, 8) f32
+    #: tri_packed: [v0.xyz, e1.xyz, e2.xyz]
+    tri_packed: jnp.ndarray = None  # (T, 9) f32
 
     @property
     def num_triangles(self) -> int:
@@ -81,6 +86,24 @@ class SceneGeometry:
     @property
     def num_quadrics(self) -> int:
         return self.quad_type.shape[0]
+
+
+def pack_geometry(g: "SceneGeometry") -> "SceneGeometry":
+    """Build the packed hot arrays (idempotent)."""
+    import dataclasses
+
+    meta = (g.node_count * 4 + g.node_axis).astype(jnp.int32)
+    node_packed = jnp.concatenate(
+        [
+            g.node_lo.astype(jnp.float32),
+            g.node_hi.astype(jnp.float32),
+            jax.lax.bitcast_convert_type(g.node_second, jnp.float32)[:, None],
+            jax.lax.bitcast_convert_type(meta, jnp.float32)[:, None],
+        ],
+        axis=1,
+    )
+    tri_packed = jnp.concatenate([g.tri_v0, g.tri_e1, g.tri_e2], axis=1)
+    return dataclasses.replace(g, node_packed=node_packed, tri_packed=tri_packed)
 
 
 class Hit(NamedTuple):
@@ -288,6 +311,31 @@ def _slab(lo, hi, o, inv_d, tmin, tmax):
     return enter <= exit_
 
 
+def _tri_test_packed(g: SceneGeometry, p, o, d, tmin, tmax):
+    """Möller–Trumbore against the packed (T, 9) row — one gather."""
+    row = g.tri_packed[p]
+    v0 = row[0:3]
+    e1 = row[3:6]
+    e2 = row[6:9]
+    pv = jnp.cross(d, e2)
+    det = jnp.dot(e1, pv)
+    inv_det = jnp.where(jnp.abs(det) < 1e-12, 0.0, 1.0 / det)
+    tv = o - v0
+    b1 = jnp.dot(tv, pv) * inv_det
+    qv = jnp.cross(tv, e1)
+    b2 = jnp.dot(d, qv) * inv_det
+    t = jnp.dot(e2, qv) * inv_det
+    hit = (
+        (jnp.abs(det) >= 1e-12)
+        & (b1 >= 0.0)
+        & (b2 >= 0.0)
+        & (b1 + b2 <= 1.0)
+        & (t > tmin)
+        & (t < tmax)
+    )
+    return hit, t, b1, b2
+
+
 def _traverse_one(g: SceneGeometry, o, d, tmin, tmax, any_hit: bool):
     """Closest-hit (or any-hit) traversal for a single ray."""
     T = g.num_triangles
@@ -301,11 +349,13 @@ def _traverse_one(g: SceneGeometry, o, d, tmin, tmax, any_hit: bool):
         # per-lane (a rays × triangles blowup). Masked evaluation of both
         # cheap tests is branch-free and keeps the scene arrays shared.
         if Q == 0:
-            return _tri_test(g, p, o, d, tmin_, tbest)
+            return _tri_test_packed(g, p, o, d, tmin_, tbest)
         if T == 0:
             return _quad_test(g, p, o, d, tmin_, tbest)
         is_tri = p < T
-        ht, tt_, b1t, b2t = _tri_test(g, jnp.minimum(p, T - 1), o, d, tmin_, tbest)
+        ht, tt_, b1t, b2t = _tri_test_packed(
+            g, jnp.minimum(p, T - 1), o, d, tmin_, tbest
+        )
         hq, tq_, b1q, b2q = _quad_test(
             g, jnp.clip(p - T, 0, Q - 1), o, d, tmin_, tbest
         )
@@ -338,12 +388,16 @@ def _traverse_one(g: SceneGeometry, o, d, tmin, tmax, any_hit: bool):
         sp, stack, t_best, prim_best, b1b, b2b = s
         node = stack[sp - 1]
         sp = sp - 1
-        hit_box = _slab(g.node_lo[node], g.node_hi[node], o, inv_d, tmin, t_best)
-        count = g.node_count[node]
+        row = g.node_packed[node]  # single gather: lo, hi, second, meta
+        hit_box = _slab(row[0:3], row[3:6], o, inv_d, tmin, t_best)
+        second = jax.lax.bitcast_convert_type(row[6], jnp.int32)
+        meta = jax.lax.bitcast_convert_type(row[7], jnp.int32)
+        count = meta >> 2
+        axis = meta & 3
         is_leaf = count > 0
 
         # --- leaf: test primitives, static MAX_LEAF unroll ---
-        offset = g.node_second[node]
+        offset = second
         do_leaf = hit_box & is_leaf
         for i in range(MAX_LEAF):
             in_leaf = do_leaf & (i < count)
@@ -357,8 +411,6 @@ def _traverse_one(g: SceneGeometry, o, d, tmin, tmax, any_hit: bool):
 
         # --- interior: push children, near child on top ---
         push = hit_box & (~is_leaf)
-        axis = g.node_axis[node]
-        second = g.node_second[node]
         near_first = dir_neg[axis] == 0  # positive dir → left (node+1) first
         c_near = jnp.where(near_first, node + 1, second)
         c_far = jnp.where(near_first, second, node + 1)

@@ -21,6 +21,7 @@ import numpy as np
 from pbrt_tpu.accel import bvh as bvh_mod
 from pbrt_tpu.accel.intersect import (
     CONE, CYLINDER, DISK, HYPERBOLOID, PARABOLOID, SPHERE, SceneGeometry,
+    pack_geometry,
 )
 from pbrt_tpu.cameras.cameras import make_camera
 from pbrt_tpu.core import sampling as smp
@@ -320,6 +321,7 @@ def build(desc: SceneDescription) -> BuiltScene:
         node_axis=i32(tree.node_axis), prim_order=i32(tree.prim_order),
         world_lo=f32(world_lo), world_hi=f32(world_hi),
     )
+    geometry = pack_geometry(geometry)
 
     # --- lights -------------------------------------------------------------
     lights = _build_lights(desc, area_lights, world_lo, world_hi, cfg)

@@ -3,7 +3,7 @@ import numpy as np
 
 from pbrt_tpu.accel import bvh as bvh_mod
 from pbrt_tpu.accel.intersect import (
-    SceneGeometry, intersect, intersect_brute, SPHERE, DISK,
+    SceneGeometry, intersect, intersect_brute, pack_geometry, SPHERE, DISK,
 )
 from pbrt_tpu.core.geometry import Ray
 from pbrt_tpu.core.interaction import surface_interaction
@@ -45,7 +45,7 @@ def make_geometry(tris=None, quads=None):
     tree = bvh_mod.build_bvh(lo, hi)
     f = jnp.asarray
     uv_default = np.zeros((T, 2), np.float32)
-    return SceneGeometry(
+    return pack_geometry(SceneGeometry(
         tri_v0=f(v0), tri_e1=f(e1), tri_e2=f(e2),
         tri_n0=f(fn), tri_n1=f(fn), tri_n2=f(fn),
         tri_uv0=f(uv_default), tri_uv1=f(uv_default), tri_uv2=f(uv_default),
@@ -62,7 +62,7 @@ def make_geometry(tris=None, quads=None):
         node_second=f(tree.node_second), node_count=f(tree.node_count),
         node_axis=f(tree.node_axis), prim_order=f(tree.prim_order),
         world_lo=f(lo.min(axis=0)), world_hi=f(hi.max(axis=0)),
-    )
+    ))
 
 
 def rays(origins, dirs):
