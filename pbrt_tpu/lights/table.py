@@ -52,6 +52,11 @@ class LightTable:
     env_id: jnp.ndarray  # (L,) -1 = constant radiance
     env_map: jnp.ndarray  # (H, W, S) lat-long radiance (dummy (1,1,S) if unused)
     env_dist: smp.Distribution2D  # importance distribution over (u, v)
+    # projection/goniometric angular maps (stacked, common resolution)
+    lmap_id: jnp.ndarray  # (L,) -1 = none
+    lmap: jnp.ndarray  # (P, Hm, Wm, S) (dummy (1,1,1,S) if unused)
+    proj_screen: jnp.ndarray  # (L, 4) x0, x1, y0, y1 perspective screen window
+    proj_invtan: jnp.ndarray  # (L,) 1/tan(fov/2) for the projection transform
     # scene bounds (distant/infinite need a world radius)
     world_center: jnp.ndarray  # (3,)
     world_radius: jnp.ndarray  # ()
@@ -117,8 +122,47 @@ def _sample_one(lt: LightTable, g, li, p, u1, u2):
     def i_infinite():
         return _sample_infinite(lt, li, p, u1, u2)
 
-    all_branches = [d_point, d_spot, d_distant, a_area, i_infinite]
-    branches = [all_branches[min(code, 4)] for code in lt.active_types]
+    def d_projection():
+        # perspective projection of an image from the light position
+        # (reference: lights/projection.cpp ProjectionLight::Projection +
+        # Sample_L — point-light falloff scaled by the projected texel)
+        d = lt.pos[li] - p
+        dist2 = jnp.maximum(jnp.dot(d, d), 1e-12)
+        dist = jnp.sqrt(dist2)
+        wi = d / dist
+        wl = (-wi) @ lt.w2l[li][:3, :3].T  # light→point dir, light space
+        z = wl[2]
+        invt = lt.proj_invtan[li]
+        xs = wl[0] / jnp.where(jnp.abs(z) < 1e-9, 1e-9, z) * invt
+        ys = wl[1] / jnp.where(jnp.abs(z) < 1e-9, 1e-9, z) * invt
+        x0, x1, y0, y1 = (lt.proj_screen[li, k] for k in range(4))
+        inside = (z > 1e-3) & (xs >= x0) & (xs <= x1) & (ys >= y0) & (ys <= y1)
+        u = jnp.clip((xs - x0) / jnp.maximum(x1 - x0, 1e-9), 0.0, 1.0)
+        v = jnp.clip((ys - y0) / jnp.maximum(y1 - y0, 1e-9), 0.0, 1.0)
+        texel = _lmap_bilinear(lt, lt.lmap_id[li], u, v)
+        L = jnp.where(inside, 1.0, 0.0) * texel * emit / dist2
+        return wi, L, jnp.float32(1.0), dist, True
+
+    def d_gonio():
+        # photometric-diagram point light (reference: lights/goniometric.cpp
+        # GonioPhotometricLight::Scale — y/z swapped spherical lookup)
+        d = lt.pos[li] - p
+        dist2 = jnp.maximum(jnp.dot(d, d), 1e-12)
+        dist = jnp.sqrt(dist2)
+        wi = d / dist
+        wl = geom.normalize((-wi) @ lt.w2l[li][:3, :3].T)
+        wp = jnp.stack([wl[0], wl[2], wl[1]])  # swap y and z
+        theta = jnp.arccos(jnp.clip(wp[2], -1.0, 1.0))
+        phi = smp_phi(wp)
+        texel = _lmap_bilinear(
+            lt, lt.lmap_id[li], phi / (2.0 * jnp.pi), theta / jnp.pi
+        )
+        return wi, texel * emit / dist2, jnp.float32(1.0), dist, True
+
+    all_branches = [
+        d_point, d_spot, d_distant, a_area, i_infinite, d_projection, d_gonio,
+    ]
+    branches = [all_branches[code] for code in lt.active_types]
     if len(branches) == 1:
         wi, L, pdf, dist, is_delta = branches[0]()
     else:
@@ -430,6 +474,26 @@ def pdf_li_hit(lt: LightTable, g, light_idx, p_shade, wi, t_hit, n_light):
         return jnp.where(li >= 0, pdf, 0.0)
 
     return jax.vmap(one)(light_idx, p_shade, wi, t_hit, n_light)
+
+
+def _lmap_bilinear(lt: LightTable, mi, u, v):
+    """Bilinear lookup into the stacked projection/gonio maps; (S,)."""
+    H, W = lt.lmap.shape[1], lt.lmap.shape[2]
+    mi = jnp.maximum(mi, 0)
+    x = jnp.clip(u * W - 0.5, 0.0, W - 1.0)
+    y = jnp.clip(v * H - 0.5, 0.0, H - 1.0)
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    x1 = jnp.minimum(x0 + 1, W - 1)
+    y1 = jnp.minimum(y0 + 1, H - 1)
+    fx, fy = x - x0, y - y0
+    m = lt.lmap[mi]
+    return (
+        m[y0, x0] * (1 - fx) * (1 - fy)
+        + m[y0, x1] * fx * (1 - fy)
+        + m[y1, x0] * (1 - fx) * fy
+        + m[y1, x1] * fx * fy
+    )
 
 
 def _env_lookup_dir(lt: LightTable, wl):

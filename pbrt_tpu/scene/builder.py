@@ -489,6 +489,35 @@ def build(desc: SceneDescription) -> BuiltScene:
     )
 
 
+def _stack_maps(lmaps, S):
+    """Stack projection/gonio maps to a common resolution (host bilinear)."""
+    if not lmaps:
+        return np.ones((1, 1, 1, S), np.float32)
+    Hm = max(m.shape[0] for m in lmaps)
+    Wm = max(m.shape[1] for m in lmaps)
+    out = []
+    for m in lmaps:
+        if m.shape[:2] != (Hm, Wm):
+            ys = np.clip(
+                (np.arange(Hm) + 0.5) * m.shape[0] / Hm - 0.5, 0, m.shape[0] - 1
+            )
+            xs = np.clip(
+                (np.arange(Wm) + 0.5) * m.shape[1] / Wm - 0.5, 0, m.shape[1] - 1
+            )
+            y0 = np.floor(ys).astype(int); y1 = np.minimum(y0 + 1, m.shape[0] - 1)
+            x0 = np.floor(xs).astype(int); x1 = np.minimum(x0 + 1, m.shape[1] - 1)
+            fy = (ys - y0)[:, None, None]
+            fx = (xs - x0)[None, :, None]
+            m = (
+                m[y0][:, x0] * (1 - fy) * (1 - fx)
+                + m[y0][:, x1] * (1 - fy) * fx
+                + m[y1][:, x0] * fy * (1 - fx)
+                + m[y1][:, x1] * fy * fx
+            )
+        out.append(m.astype(np.float32))
+    return np.stack(out)
+
+
 def _build_lights(desc, area_lights, world_lo, world_hi, cfg):
     S = cfg.n_bins
     center = 0.5 * (world_lo + world_hi)
@@ -553,6 +582,45 @@ def _build_lights(desc, area_lights, world_lo, world_hi, cfg):
                 except Exception as e:  # missing codec etc.
                     warnings.warn(f"infinite light map {mapname!r}: {e}; using constant")
             rows.append(dict(type=lt_mod.INFINITE, emit=L, l2w=l2w, env=env))
+        elif t in ("projection", "goniometric"):
+            I = p.find_one_spectrum("I", 1.0, "illuminant") * p.find_one_float(
+                "scale", 1.0
+            )
+            pos = l2w[:3, 3]
+            mapname = p.find_one_filename("mapname", "")
+            img = None
+            if mapname:
+                try:
+                    from pbrt_tpu.film.imageio import read_image
+                    from pbrt_tpu.core import spectrum as spec_mod
+
+                    rgb = read_image(mapname)
+                    img = np.asarray(
+                        spec_mod.from_rgb(jnp.asarray(rgb), "illuminant", cfg)
+                    )
+                except Exception as e:
+                    warnings.warn(f"light map {mapname!r}: {e}; using constant")
+            if img is None:
+                img = np.ones((1, 1, S), np.float32)
+            if t == "projection":
+                # perspective screen window (reference: projection.cpp ctor)
+                fov = p.find_one_float("fov", 45.0)
+                aspect = img.shape[1] / img.shape[0]
+                if aspect > 1.0:
+                    screen = (-aspect, aspect, -1.0, 1.0)
+                else:
+                    screen = (-1.0, 1.0, -1.0 / aspect, 1.0 / aspect)
+                rows.append(
+                    dict(
+                        type=lt_mod.PROJECTION, emit=I, pos=pos, l2w=l2w,
+                        lmap=img, proj_screen=screen,
+                        proj_invtan=1.0 / np.tan(0.5 * np.deg2rad(fov)),
+                    )
+                )
+            else:
+                rows.append(
+                    dict(type=lt_mod.GONIO, emit=I, pos=pos, l2w=l2w, lmap=img)
+                )
         else:
             warnings.warn(f"light {t!r} not supported yet; skipped")
 
@@ -595,6 +663,12 @@ def _build_lights(desc, area_lights, world_lo, world_hi, cfg):
     cdfs = []
     env_map = None
     power = np.ones(L, np.float32)
+    lmap_id = np.full(L, -1, np.int32)
+    lmaps = []
+    proj_screen = np.tile(
+        np.asarray([-1.0, 1.0, -1.0, 1.0], np.float32), (L, 1)
+    )
+    proj_invtan = np.ones(L, np.float32)
 
     if not rows:
         typ[0] = lt_mod.POINT  # dummy dark light
@@ -620,6 +694,11 @@ def _build_lights(desc, area_lights, world_lo, world_hi, cfg):
         if r.get("env") is not None and env_map is None:
             env_map = r["env"]
             env_id[i] = 0
+        if r.get("lmap") is not None:
+            lmap_id[i] = len(lmaps)
+            lmaps.append(r["lmap"])
+            proj_screen[i] = r.get("proj_screen", (-1.0, 1.0, -1.0, 1.0))
+            proj_invtan[i] = r.get("proj_invtan", 1.0)
 
     tri_cdf = (
         np.concatenate(cdfs).astype(np.float32) if cdfs else np.zeros(1, np.float32)
@@ -656,6 +735,10 @@ def _build_lights(desc, area_lights, world_lo, world_hi, cfg):
         env_id=i32(env_id),
         env_map=f32(env_map),
         env_dist=smp.Distribution2D.build(f32(env_lum)),
+        lmap_id=i32(lmap_id),
+        lmap=f32(_stack_maps(lmaps, S)),
+        proj_screen=f32(proj_screen),
+        proj_invtan=f32(proj_invtan),
         world_center=f32(center),
         world_radius=jnp.float32(radius),
         power_dist=smp.Distribution1D.build(f32(power)),
