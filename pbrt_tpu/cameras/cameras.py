@@ -203,8 +203,11 @@ def make_camera(name, params, cam_to_world: AnimatedTransform, film_cfg):
             shutter_open=so,
             shutter_close=sc,
         )
-    if name in ("realistic", "realisticDiffraction", "idealDiffraction",
-                "perspectiveDiffraction"):
+    if name == "idealDiffraction":
+        from pbrt_tpu.cameras.realistic import make_ideal_diffraction
+
+        return make_ideal_diffraction(params, cam_to_world, film_cfg)
+    if name in ("realistic", "realisticDiffraction", "perspectiveDiffraction"):
         from pbrt_tpu.cameras.realistic import make_realistic_diffraction
 
         return make_realistic_diffraction(params, cam_to_world, film_cfg)

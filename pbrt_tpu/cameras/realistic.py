@@ -298,9 +298,13 @@ def _hurb(o, d, aperture, lam, noise):
     sigma_y = jnp.arctan(1.0 / (jnp.sqrt(2.0) * b * 1e-3 * 2.0 * jnp.pi / lam_m))
     noise_a = noise[:, 0] * sigma_x
     noise_b = noise[:, 1] * sigma_y
-    safe_r = jnp.maximum(radius, 1e-9)
-    dir_r = jnp.stack([ix / safe_r, iy / safe_r, jnp.zeros_like(ix)], -1)
-    dir_o = jnp.stack([-iy / safe_r, ix / safe_r, jnp.zeros_like(ix)], -1)
+    # degenerate on-axis point: any orthogonal pair in the aperture plane
+    central = radius < 1e-8
+    ux = jnp.where(central, 1.0, ix)
+    uy = jnp.where(central, 0.0, iy)
+    safe_r = jnp.maximum(jnp.sqrt(ux * ux + uy * uy), 1e-9)
+    dir_r = jnp.stack([ux / safe_r, uy / safe_r, jnp.zeros_like(ix)], -1)
+    dir_o = jnp.stack([-uy / safe_r, ux / safe_r, jnp.zeros_like(ix)], -1)
     proj_a = jnp.sum(d * dir_r, -1)
     proj_b = jnp.sum(d * dir_o, -1)
     proj_c = d[:, 2]
@@ -328,6 +332,150 @@ def _hurb(o, d, aperture, lam, noise):
     bad = jnp.any(jnp.isnan(new_d), -1)
     new_d = jnp.where(bad[:, None], d, geom.normalize(new_d))
     return o, new_d
+
+
+@pytree_dataclass
+class IdealDiffractionCamera:
+    """Fork's ideal thin-lens camera with aperture diffraction
+    (reference: cameras/idealDiffraction.{h,cpp}): film plane at
+    -filmdistance (mm), aperture disk at z=0, thin-lens equation for the
+    focus point, then bivariate-Gaussian angular diffraction noise with
+    σ = atan(λ/(4π·edge-distance)) in the radial/tangential aperture frame
+    (idealDiffraction.cpp:420-500). The reference parses a
+    ``chromaticAberrationEnabled`` flag but never applies it in the trace —
+    matched here (parsed, inert)."""
+
+    cam_to_world: AnimatedTransform
+    film_distance: jnp.ndarray  # () mm
+    focal_length: jnp.ndarray  # () mm
+    aperture_diameter: jnp.ndarray  # () mm
+    shutter_open: jnp.ndarray
+    shutter_close: jnp.ndarray
+    xres: int = static_field(default=256)
+    yres: int = static_field(default=256)
+    film_diag: float = static_field(default=35.0)
+    diffraction: bool = static_field(default=True)
+    focal_length_mm: float = static_field(default=50.0)
+    f_stop: float = static_field(default=4.0)
+    fov_deg: float = static_field(default=0.0)
+
+    @property
+    def sensor_width(self) -> float:
+        ar = self.xres / self.yres
+        return self.film_diag / np.sqrt(1.0 + 1.0 / (ar * ar))
+
+    def generate_rays(self, px, py, u_lens1, u_lens2, u_time,
+                      wavelength=None, keys=None):
+        R = px.shape[0]
+        f32 = jnp.float32
+        lam = (
+            jnp.broadcast_to(jnp.asarray(wavelength, f32), (R,))
+            if wavelength is not None
+            else jnp.full((R,), 550.0, f32)
+        )
+        ar = self.xres / self.yres
+        width = self.sensor_width
+        height = width / ar
+        # film point (mm), mirrored like the reference (:339-351)
+        sx = -(px - self.xres / 2.0) / (self.xres / 2.0)
+        sy = (py - self.yres / 2.0) / (self.yres / 2.0)
+        o = jnp.stack(
+            [sx * width / 2.0, sy * height / 2.0,
+             jnp.full_like(sx, -self.film_distance)], -1
+        )
+        lu, lv = smp.concentric_sample_disk(u_lens1, u_lens2)
+        half_ap = self.aperture_diameter / 2.0
+        p_lens = jnp.stack(
+            [lu * half_ap, lv * half_ap, jnp.zeros_like(lu)], -1
+        )
+        # thin-lens equation: 1/f - 1/filmdist → focus distance (:372-378)
+        denom = 1.0 / self.focal_length - 1.0 / self.film_distance
+        focus = jnp.where(
+            jnp.abs(self.focal_length - self.film_distance) < 1e-10,
+            1e6 * self.focal_length,
+            1.0 / jnp.where(jnp.abs(denom) < 1e-12, 1e-12, denom),
+        )
+        d_center = geom.normalize(-o)  # film point → lens center
+        ft = focus / jnp.where(jnp.abs(d_center[:, 2]) < 1e-12, 1e-12, d_center[:, 2])
+        p_focus = ft[:, None] * d_center
+        d = geom.normalize(p_focus - p_lens)
+        if self.diffraction and keys is not None:
+            noise = jax.vmap(lambda k: jax.random.normal(
+                jax.random.fold_in(k, jnp.uint32(2000)), (2,)))(keys)
+            d = _ideal_diffract(p_lens, d, self.aperture_diameter, lam, noise)
+        time = self.shutter_open + u_time * (self.shutter_close - self.shutter_open)
+        c2w = self.cam_to_world.interpolate(time)
+        return geom.Ray.make(
+            xf.apply_point(c2w, p_lens),
+            geom.normalize(xf.apply_vector(c2w, d)),
+            time=time,
+            wavelength=lam,
+        )
+
+
+def _ideal_diffract(p, d, aperture, lam, noise):
+    """Azimuth/elevation Gaussian perturbation in the aperture's
+    radial (S) / tangential (L) frame (reference idealDiffraction.cpp
+    :418-500; σ without the realistic camera's √2 factor)."""
+    ix, iy = p[:, 0], p[:, 1]
+    ip_len = jnp.sqrt(ix * ix + iy * iy)
+    half_ap = aperture / 2.0
+    edge_s = jnp.maximum(half_ap - ip_len, 1e-6)
+    edge_l = jnp.sqrt(jnp.maximum(half_ap * half_ap - ip_len * ip_len, 1e-12))
+    lam_m = lam * 1e-9
+    sigma_s = jnp.arctan(1.0 / (2.0 * edge_s * 1e-3 * 2.0 * jnp.pi / lam_m))
+    sigma_l = jnp.arctan(1.0 / (2.0 * edge_l * 1e-3 * 2.0 * jnp.pi / lam_m))
+    # degenerate on-axis point: any orthogonal pair in the aperture plane
+    central = ip_len < 1e-8
+    ux = jnp.where(central, 1.0, ix)
+    uy = jnp.where(central, 0.0, iy)
+    safe_r = jnp.maximum(jnp.sqrt(ux * ux + uy * uy), 1e-9)
+    dir_s = jnp.stack([ux / safe_r, uy / safe_r, jnp.zeros_like(ix)], -1)
+    dir_l = jnp.stack([-uy / safe_r, ux / safe_r, jnp.zeros_like(ix)], -1)
+    proj_s = jnp.sum(d * dir_s, -1)
+    proj_l = jnp.sum(d * dir_l, -1)
+    dz = d[:, 2]
+    theta_a = jnp.arctan2(proj_s, dz) + noise[:, 0] * sigma_s
+    theta_e = jnp.arctan2(
+        proj_l, jnp.sqrt(proj_s * proj_s + dz * dz)
+    ) + noise[:, 1] * sigma_l
+    new_l = jnp.sin(theta_e)
+    small_h = jnp.cos(theta_e)
+    new_s = small_h * jnp.sin(theta_a)
+    new_z = small_h * jnp.cos(theta_a)
+    new_d = jnp.stack(
+        [
+            dir_s[:, 0] * new_s + dir_l[:, 0] * new_l,
+            dir_s[:, 1] * new_s + dir_l[:, 1] * new_l,
+            new_z,
+        ],
+        -1,
+    )
+    bad = jnp.any(jnp.isnan(new_d), -1)
+    return jnp.where(bad[:, None], d, geom.normalize(new_d))
+
+
+def make_ideal_diffraction(params, cam_to_world, film_cfg):
+    """Factory (reference: CreateIdealDiffractionCamera,
+    idealDiffraction.cpp:30-53)."""
+    f32 = jnp.float32
+    focal = params.find_one_float("focal_length", 50.0)
+    ap = params.find_one_float("aperture_diameter", 1.0)
+    diff = params.find_one_float("diffractionEnabled", 1.0) == 1.0
+    return IdealDiffractionCamera(
+        cam_to_world=cam_to_world,
+        film_distance=f32(params.find_one_float("filmdistance", 70.0)),
+        focal_length=f32(focal),
+        aperture_diameter=f32(ap),
+        shutter_open=f32(params.find_one_float("shutteropen", 0.0)),
+        shutter_close=f32(params.find_one_float("shutterclose", 1.0)),
+        xres=film_cfg.xres,
+        yres=film_cfg.yres,
+        film_diag=float(params.find_one_float("filmdiag", 35.0)),
+        diffraction=bool(diff),
+        focal_length_mm=float(focal),
+        f_stop=float(focal / max(ap, 1e-6)),
+    )
 
 
 def make_realistic_diffraction(params, cam_to_world, film_cfg):

@@ -199,16 +199,26 @@ def apply_textures(scene: RenderScene, si, lm):
     mats = scene.materials
     mi = jnp.maximum(si.material, 0)
 
-    def override_spec(cur, tex_ids):
-        tid = tex_ids[mi]
+    def override_spec(cur, tex_ids, rows):
+        tid = tex_ids[rows]
         val = jnp.maximum(tex_mod.eval_spectrum(tt, tid, si.uv, si.p), 0.0)
         return jnp.where((tid >= 0)[..., None], val, cur)
 
-    lm = _dc.replace(
-        lm,
-        kd=override_spec(lm.kd, mats.kd_tex),
-        ks=override_spec(lm.ks, mats.ks_tex),
-    )
+    def apply_one(lane, rows):
+        return _dc.replace(
+            lane,
+            kd=override_spec(lane.kd, mats.kd_tex, rows),
+            ks=override_spec(lane.ks, mats.ks_tex, rows),
+        )
+
+    if isinstance(lm, mat_mod.MixLane):
+        # textures bind per sub-material row (reference: MixMaterial builds
+        # both sub-BSDFs with their own texture evaluations, mix.cpp:40-56)
+        lm = _dc.replace(
+            lm, lm1=apply_one(lm.lm1, lm.m1), lm2=apply_one(lm.lm2, lm.m2)
+        )
+    else:
+        lm = apply_one(lm, mi)
     # fork normalmap: tangent-space normal from an RGB texture, applied in
     # preference to bumpmap when non-black
     ntid = mats.normal_tex[mi]

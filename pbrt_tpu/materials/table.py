@@ -81,7 +81,13 @@ class MaterialTable:
     ss_sigma_a: jnp.ndarray  # (M, S)
     ss_sigma_s: jnp.ndarray  # (M, S) reduced scattering σ's
     ss_scale: jnp.ndarray  # (M,)
+    # mix material linkage (reference: materials/mix.cpp — BSDF is
+    # amount·lobes(m1) + (1−amount)·lobes(m2) via ScaledBxDF)
+    mix_m1: jnp.ndarray  # (M,) i32 row of namedmaterial1 (self if not mix)
+    mix_m2: jnp.ndarray  # (M,) i32 row of namedmaterial2 (self if not mix)
+    mix_amt: jnp.ndarray  # (M, S) amount spectrum (1 for non-mix rows)
     active_lobes: tuple = static_field(default=(L_LAMBERT,))
+    has_mix: bool = static_field(default=False)
 
     @property
     def count(self) -> int:
@@ -110,8 +116,36 @@ class LaneMaterial:
     active_lobes: tuple = static_field(default=(L_LAMBERT,))
 
 
-def gather_lane(mt: MaterialTable, idx) -> LaneMaterial:
-    i = jnp.maximum(idx, 0)
+@pytree_dataclass
+class MixLane:
+    """Lane view of a scene containing mix materials: both sub-materials'
+    lanes plus the blend amount. For non-mix lanes m1 == m2 == the row
+    itself and amt == 1, so every formula degenerates to the plain lane."""
+
+    lm1: LaneMaterial
+    lm2: LaneMaterial
+    amt: jnp.ndarray  # (R, S)
+    m1: jnp.ndarray  # (R,) i32 sub-row indices (for texture binding)
+    m2: jnp.ndarray  # (R,)
+
+
+def gather_lane(mt: MaterialTable, idx):
+    if mt.has_mix:
+        i = jnp.maximum(idx, 0)
+        is_mix = mt.kind[i] == MIXMAT
+        m1 = jnp.where(is_mix, mt.mix_m1[i], i)
+        m2 = jnp.where(is_mix, mt.mix_m2[i], i)
+        return MixLane(
+            lm1=_gather_plain(mt, m1),
+            lm2=_gather_plain(mt, m2),
+            amt=jnp.where(is_mix[..., None], mt.mix_amt[i], 1.0),
+            m1=m1,
+            m2=m2,
+        )
+    return _gather_plain(mt, jnp.maximum(idx, 0))
+
+
+def _gather_plain(mt: MaterialTable, i) -> LaneMaterial:
     return LaneMaterial(
         n_lobes=mt.n_lobes[i],
         lobe_type=mt.lobe_type[i],
@@ -374,28 +408,73 @@ def pools_of(mt: MaterialTable):
     return (mt.irreg_points, mt.irreg_spectra, mt.merl_rgb)
 
 
-def bsdf_f(lm: LaneMaterial, wo, wi, pools=None):
+def bsdf_f(lm, wo, wi, pools=None):
     """Batched Σ over the material's lobes (R, S). Local frame.
-    (reference: BSDF::f, core/reflection.cpp:517-529)."""
+    (reference: BSDF::f, core/reflection.cpp:517-529). For MixLane:
+    amount·f(m1) + (1−amount)·f(m2) (reference: materials/mix.cpp)."""
+    if isinstance(lm, MixLane):
+        f1 = bsdf_f(lm.lm1, wo, wi, pools)
+        f2 = bsdf_f(lm.lm2, wo, wi, pools)
+        return lm.amt * f1 + (1.0 - lm.amt) * f2
     return jax.vmap(_bsdf_f_one, in_axes=(0, 0, 0, None))(lm, wo, wi, pools)
 
 
-def bsdf_pdf(lm: LaneMaterial, wo, wi):
+def bsdf_pdf(lm, wo, wi):
     """Mean of lobe pdfs (reference: BSDF::Pdf, reflection.cpp:602-612)."""
+    if isinstance(lm, MixLane):
+        same = (lm.m1 == lm.m2).astype(wo.dtype)
+        p1 = bsdf_pdf(lm.lm1, wo, wi)
+        p2 = bsdf_pdf(lm.lm2, wo, wi)
+        # non-mix lanes: p1 == p2 → p1; mix lanes: half/half selection
+        return same * p1 + (1.0 - same) * 0.5 * (p1 + p2)
     return jax.vmap(_bsdf_pdf_one)(lm, wo, wi)
 
 
-def bsdf_sample(lm: LaneMaterial, wo, u_lobe, u1, u2, pools=None):
+def bsdf_sample(lm, wo, u_lobe, u1, u2, pools=None):
     """pbrt BSDF::Sample_f: uniformly pick a lobe, sample it; for non-delta
     lobes re-evaluate f and pdf over ALL lobes
-    (reference: core/reflection.cpp:531-600). Returns (wi, f, pdf, is_delta)."""
+    (reference: core/reflection.cpp:531-600). Returns (wi, f, pdf, is_delta).
+
+    MixLane: pick a sub-material with probability ½ (pure lanes always take
+    m1), sample its lobe, then combine f = amt·f1 + (1−amt)·f2 and
+    pdf = ½(pdf1+pdf2); delta lobes keep the chosen lane's weight scaled by
+    its blend factor."""
+    if isinstance(lm, MixLane):
+        same = lm.m1 == lm.m2
+        chose1 = same | (u_lobe < 0.5)
+        u_re = jnp.where(
+            same, u_lobe, jnp.where(chose1, u_lobe * 2.0, u_lobe * 2.0 - 1.0)
+        )
+        wi1, f1s, p1s, d1 = bsdf_sample(lm.lm1, wo, u_re, u1, u2, pools)
+        wi2, f2s, p2s, d2 = bsdf_sample(lm.lm2, wo, u_re, u1, u2, pools)
+        wi = jnp.where(chose1[..., None], wi1, wi2)
+        is_delta = jnp.where(chose1, d1, d2)
+        # smooth case: full blended f/pdf at the chosen direction
+        f_sm = lm.amt * bsdf_f(lm.lm1, wo, wi, pools) + (
+            1.0 - lm.amt
+        ) * bsdf_f(lm.lm2, wo, wi, pools)
+        p_sm_1 = bsdf_pdf(lm.lm1, wo, wi)
+        p_sm_2 = bsdf_pdf(lm.lm2, wo, wi)
+        p_sm = jnp.where(same, p_sm_1, 0.5 * (p_sm_1 + p_sm_2))
+        # delta case: chosen lane's delta weight × blend; selection prob ½
+        w_sel = jnp.where(
+            same[..., None], 1.0,
+            jnp.where(chose1[..., None], lm.amt, 1.0 - lm.amt),
+        )
+        f_d = w_sel * jnp.where(chose1[..., None], f1s, f2s)
+        p_d = jnp.where(same, 1.0, 0.5) * jnp.where(chose1, p1s, p2s)
+        f = jnp.where(is_delta[..., None], f_d, f_sm)
+        pdf = jnp.where(is_delta, p_d, p_sm)
+        return wi, f, pdf, is_delta
     return jax.vmap(_bsdf_sample_one, in_axes=(0, 0, 0, 0, 0, None))(
         lm, wo, u_lobe, u1, u2, pools
     )
 
 
-def has_delta_only(lm: LaneMaterial):
+def has_delta_only(lm):
     """True when every lobe is specular (glass/mirror) — NEE skips these."""
+    if isinstance(lm, MixLane):
+        return has_delta_only(lm.lm1) & has_delta_only(lm.lm2)
     delta_compact = [
         i for i, code in enumerate(lm.active_lobes) if code in _DELTA_LOBES
     ]
@@ -466,6 +545,9 @@ def build_material_table(records, config, texture_index=None) -> MaterialTable:
     ss_sigma_a = np.zeros((M, S), np.float32)
     ss_sigma_s = np.zeros((M, S), np.float32)
     ss_scale = np.ones(M, np.float32)
+    mix_m1 = np.arange(M, dtype=np.int32)
+    mix_m2 = np.arange(M, dtype=np.int32)
+    mix_amt = np.ones((M, S), np.float32)
     irreg_pts_pool = [np.zeros((1, 3), np.float32)]
     irreg_spec_pool = [np.zeros((1, S), np.float32)]
     merl_pool = [np.zeros((1, 3), np.float32)]
@@ -654,8 +736,16 @@ def build_material_table(records, config, texture_index=None) -> MaterialTable:
             if not loaded:
                 kd[i] = 0.5
                 lobes.append(L_LAMBERT)
+        elif mt == "mix":
+            # (reference: materials/mix.cpp) — sub-rows resolved by the
+            # builder into rec.mix_rows; the row's own lobe list is unused
+            # (gather_lane dispatches to the sub-rows)
+            kind[i] = MIXMAT
+            mix_m1[i], mix_m2[i] = getattr(rec, "mix_rows", (i, i))
+            mix_amt[i] = p.find_one_spectrum("amount", 0.5)
+            lobes.append(L_LAMBERT)
         else:
-            # unknown / not-yet-supported (subsurface, mix):
+            # unknown / not-yet-supported:
             # degrade to matte 0.5 like pbrt warns+falls back (api.cpp:373)
             kind[i] = MATTE
             kd[i] = p.find_one_spectrum("Kd", 0.5)
@@ -689,5 +779,7 @@ def build_material_table(records, config, texture_index=None) -> MaterialTable:
         irreg_spectra=jnp.asarray(np.concatenate(irreg_spec_pool)),
         merl_rgb=jnp.asarray(np.concatenate(merl_pool)),
         ss_sigma_a=f(ss_sigma_a), ss_sigma_s=f(ss_sigma_s), ss_scale=f(ss_scale),
+        mix_m1=f(mix_m1), mix_m2=f(mix_m2), mix_amt=f(mix_amt),
         active_lobes=active,
+        has_mix=bool((kind == MIXMAT).any()),
     )

@@ -329,6 +329,29 @@ def build(desc: SceneDescription) -> BuiltScene:
     # --- textures ------------------------------------------------------------
     from pbrt_tpu.textures.texture import build_texture_table
 
+    # resolve mix materials' named sub-materials into table rows (sub-rows
+    # may be used by no shape; mat_id_for appends them). Index loop so rows
+    # appended mid-scan (nested mixes) are themselves resolved.
+    named_mats = getattr(desc, "named_materials", None) or {}
+    scan = 0
+    while scan < len(mat_records):
+        m = mat_records[scan]
+        if m.mat_type == "mix" and not hasattr(m, "mix_rows"):
+            self_row = mat_index[id(m)]
+            rows = []
+            for pname in ("namedmaterial1", "namedmaterial2"):
+                nm = m.params.find_one_string(pname, "")
+                sub = named_mats.get(nm)
+                if sub is None or sub is m:
+                    warnings.warn(
+                        f"mix material: named material {nm!r} not found"
+                    )
+                    rows.append(self_row)
+                else:
+                    rows.append(mat_id_for(sub))
+            m.mix_rows = tuple(rows)
+        scan += 1
+
     tex_records: dict = {}
     for m in mat_records:
         tex_records.update(m.float_textures)
