@@ -84,10 +84,12 @@ def add_samples(
     L: jnp.ndarray,  # (R, S)
     depth: jnp.ndarray,  # (R,) ray.maxt at termination (0 for miss)
     table: jnp.ndarray,  # (FILTER_TABLE_SIZE, FILTER_TABLE_SIZE)
+    sample_scale: jnp.ndarray | None = None,  # (R,) per-sample weight scale
 ) -> FilmState:
     """Filter-weighted scatter accumulation (AddSample semantics,
     reference: spectralImage.cpp:77-152). Sample (px, py) contributes to
     pixels within the filter radius; weight from the filter table.
+    ``sample_scale`` masks/weights whole samples (adaptive supersampling).
     """
     H, W = state.weight.shape
     fx, fy = cfg.filter.xwidth, cfg.filter.ywidth
@@ -111,6 +113,8 @@ def add_samples(
             tx = jnp.clip((fxo / fx * ts).astype(jnp.int32), 0, ts - 1)
             ty = jnp.clip((fyo / fy * ts).astype(jnp.int32), 0, ts - 1)
             w = jnp.where(in_img & in_filt, table[ty, tx], 0.0)
+            if sample_scale is not None:
+                w = w * sample_scale
             xi_c = jnp.clip(xi, 0, W - 1)
             yi_c = jnp.clip(yi, 0, H - 1)
             pixels = pixels.at[yi_c, xi_c].add(w[:, None] * L)

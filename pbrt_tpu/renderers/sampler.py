@@ -76,8 +76,14 @@ def render_wave(
     sampler_name: str,
     spp: int,
     film_cfg,
+    sample_scale=None,  # (R,) adaptive supersampling mask
+    want_stats: bool = False,
 ):
-    """One sample wave for one pixel chunk. Pure; jit at call site."""
+    """One sample wave for one pixel chunk. Pure; jit at call site.
+
+    ``want_stats``: also return (lum, prim_id) of this sample per ray — the
+    adaptive sampler's needsSupersampling inputs
+    (reference: samplers/adaptive.cpp:140-165)."""
     W = film_state.weight.shape[1]
     pixel_index = pixel_y * W + pixel_x
     keys = rngmod.pixel_sample_key(root_key, pixel_index, jnp.asarray(sample_idx))
@@ -96,8 +102,45 @@ def render_wave(
     # NaN/negative/inf clamps (reference: samplerrenderer.cpp:119-133)
     bad = jnp.isnan(L) | (L < 0.0) | jnp.isinf(L)
     L = jnp.where(bad, 0.0, L)
-    return film_mod.add_samples(
-        film_state, film_cfg, px, py, L, first_t, filter_table
+    state = film_mod.add_samples(
+        film_state, film_cfg, px, py, L, first_t, filter_table,
+        sample_scale=sample_scale,
+    )
+    if not want_stats:
+        return state
+    from pbrt_tpu.accel.intersect import intersect
+    from pbrt_tpu.core import spectrum as spec
+
+    lum = spec.luminance(L)
+    hit = intersect(scene.geometry, rays)
+    return state, lum, hit.prim
+
+
+@functools.partial(
+    jax.jit, static_argnames=("icfg", "sampler_name", "spp", "film_cfg")
+)
+def _render_wave_stats_jit(
+    film_state, scene, camera, filter_table, pixel_x, pixel_y,
+    sample_idx, root_key, icfg, sampler_name, spp, film_cfg,
+):
+    return render_wave(
+        film_state, scene, camera, filter_table, pixel_x, pixel_y,
+        sample_idx, root_key, icfg, sampler_name, spp, film_cfg,
+        want_stats=True,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("icfg", "sampler_name", "spp", "film_cfg")
+)
+def _render_wave_masked_jit(
+    film_state, scene, camera, filter_table, pixel_x, pixel_y,
+    sample_idx, root_key, icfg, sampler_name, spp, film_cfg, sample_scale,
+):
+    return render_wave(
+        film_state, scene, camera, filter_table, pixel_x, pixel_y,
+        sample_idx, root_key, icfg, sampler_name, spp, film_cfg,
+        sample_scale=sample_scale,
     )
 
 
@@ -158,6 +201,13 @@ def render(built, spp=None, seed: int = 0, chunk_pixels: int | None = None,
     root = rngmod.root_key(seed)
     table = jnp.asarray(built.filter_table)
     t_start = time.time()
+
+    if built.sampler_name == "adaptive" and resumed_state is None:
+        return _render_adaptive(
+            built, film_state, root, table, all_x, all_y, chunk, pad,
+            n_chunks, verbose, quick, t_start,
+        )
+
     for s in range(start_sample, spp):
         for c in range(n_chunks):
             cx = jnp.asarray(all_x[c * chunk : (c + 1) * chunk])
@@ -181,6 +231,81 @@ def render(built, spp=None, seed: int = 0, chunk_pixels: int | None = None,
 
             jax.block_until_ready(film_state.pixels)
             save_checkpoint(checkpoint_path, film_state, s + 1, seed)
+    jax.block_until_ready(film_state.pixels)
+    if verbose:
+        print(f"\n[pbrt_tpu] render done in {time.time()-t_start:.2f}s")
+    return film_state
+
+
+def _render_adaptive(built, film_state, root, table, all_x, all_y, chunk,
+                     pad, n_chunks, verbose, quick, t_start):
+    """Adaptive supersampling (reference: samplers/adaptive.{h,cpp}):
+    render ``minsamples`` waves everywhere while tracking per-pixel
+    luminance min/max (contrast test — triggering iff ANY sample deviates
+    from the batch mean by >0.5, which the extremes decide) and first-hit
+    prim-id min/max (shapeid test); then render up to ``maxsamples`` with
+    contributions masked to pixels that need supersampling."""
+    cfg = built.film_config
+    icfg = built.integrator
+    sp = built.description.sampler[1]
+    min_s = max(1, sp.find_one_int("minsamples", 4))
+    max_s = max(min_s, sp.find_one_int("maxsamples", 32))
+    method = sp.find_one_string("method", "contrast")
+    if quick:
+        min_s, max_s = 1, 1
+    H, W = film_state.weight.shape
+    lum_sum = jnp.zeros((H * W,), jnp.float32)
+    lum_min = jnp.full((H * W,), jnp.inf, jnp.float32)
+    lum_max = jnp.full((H * W,), -jnp.inf, jnp.float32)
+    id_min = jnp.full((H * W,), 2**30, jnp.int32)
+    id_max = jnp.full((H * W,), -(2**30), jnp.int32)
+
+    def chunk_xy(c):
+        cx = all_x[c * chunk : (c + 1) * chunk]
+        cy = all_y[c * chunk : (c + 1) * chunk]
+        if pad and c == n_chunks - 1:
+            cx = all_x[c * chunk : c * chunk + (chunk - pad)]
+            cy = all_y[c * chunk : c * chunk + (chunk - pad)]
+        return jnp.asarray(cx), jnp.asarray(cy)
+
+    for s in range(min_s):
+        for c in range(n_chunks):
+            cx, cy = chunk_xy(c)
+            film_state, lum, prim = _render_wave_stats_jit(
+                film_state, built.scene, built.camera, table, cx, cy,
+                jnp.int32(s), root, icfg, built.sampler_name, max_s, cfg,
+            )
+            pi = cy * W + cx
+            lum_sum = lum_sum.at[pi].add(lum)
+            lum_min = lum_min.at[pi].min(lum)
+            lum_max = lum_max.at[pi].max(lum)
+            id_min = id_min.at[pi].min(prim)
+            id_max = id_max.at[pi].max(prim)
+        if verbose:
+            print(f"\r[pbrt_tpu] adaptive pass 1: {s+1}/{min_s}", end="")
+    if method == "shapeid":
+        need = id_min != id_max
+    else:
+        avg = lum_sum / min_s
+        dev = jnp.maximum(lum_max - avg, avg - lum_min)
+        need = (avg > 0.0) & (dev / jnp.maximum(avg, 1e-20) > 0.5)
+    n_need = int(jnp.sum(need))
+    if verbose:
+        print(f"\n[pbrt_tpu] adaptive: {n_need}/{need.size} pixels supersample "
+              f"({min_s}→{max_s} spp, method={method})")
+    for s in range(min_s, max_s):
+        if n_need == 0:
+            break
+        for c in range(n_chunks):
+            cx, cy = chunk_xy(c)
+            mask = need[cy * W + cx].astype(jnp.float32)
+            film_state = _render_wave_masked_jit(
+                film_state, built.scene, built.camera, table, cx, cy,
+                jnp.int32(s), root, icfg, built.sampler_name, max_s, cfg,
+                mask,
+            )
+        if verbose:
+            print(f"\r[pbrt_tpu] adaptive pass 2: {s+1}/{max_s}", end="")
     jax.block_until_ready(film_state.pixels)
     if verbose:
         print(f"\n[pbrt_tpu] render done in {time.time()-t_start:.2f}s")

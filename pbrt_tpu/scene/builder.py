@@ -70,6 +70,10 @@ def _refine_shape(rec: ShapeRecord, o2w: np.ndarray) -> MeshData | None:
         return refine_loopsubdiv(rec.params, o2w, rec.reverse_orientation)
     if st == "heightfield":
         return make_heightfield(rec.params, o2w, rec.reverse_orientation)
+    if st == "nurbs":
+        from pbrt_tpu.shapes.nurbs import refine_nurbs
+
+        return refine_nurbs(rec.params, o2w, rec.reverse_orientation)
     return None
 
 
