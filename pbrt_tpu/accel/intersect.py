@@ -78,6 +78,27 @@ class SceneGeometry:
     node_packed: jnp.ndarray = None  # (N, 8) f32
     #: tri_packed: [v0.xyz, e1.xyz, e2.xyz]
     tri_packed: jnp.ndarray = None  # (T, 9) f32
+    # --- motion blur (animated TransformedPrimitive; reference:
+    # core/primitive.h:89 + AnimatedTransform). Embree-style motion-blurred
+    # vertex buffers: per-triangle shutter-end deltas, lerped by ray time —
+    # the accelerator-idiomatic equivalent of per-ray transform slerp.
+    tri_motion: jnp.ndarray = None  # (T, 9) delta of [v0, e1, e2]
+    tri_n_motion: jnp.ndarray = None  # (T, 9) delta of [n0, n1, n2]
+    motion_time: jnp.ndarray = None  # (2,) transform start/end times
+    has_motion: bool = static_field(default=False)
+    # --- alternative accelerators (Accelerator "kdtree"/"grid";
+    # reference: src/accelerators/kdtreeaccel.cpp, grid.cpp) ---
+    accel_kind: str = static_field(default="bvh")  # bvh | kdtree | grid
+    kd_split: jnp.ndarray = None  # (N,) f32
+    kd_axis: jnp.ndarray = None  # (N,) i32, 3 = leaf
+    kd_above: jnp.ndarray = None  # (N,) i32 (below child = node+1)
+    kd_prim_off: jnp.ndarray = None  # (N,) i32 CSR
+    kd_prim_cnt: jnp.ndarray = None  # (N,) i32
+    kd_prim_ids: jnp.ndarray = None  # (M,) i32 global prim ids
+    grid_dims: tuple = static_field(default=None)  # (nx, ny, nz)
+    grid_off: jnp.ndarray = None  # (V,) i32 CSR
+    grid_cnt: jnp.ndarray = None  # (V,) i32
+    grid_ids: jnp.ndarray = None  # (M,) i32
 
     @property
     def num_triangles(self) -> int:
@@ -311,9 +332,12 @@ def _slab(lo, hi, o, inv_d, tmin, tmax):
     return enter <= exit_
 
 
-def _tri_test_packed(g: SceneGeometry, p, o, d, tmin, tmax):
-    """Möller–Trumbore against the packed (T, 9) row — one gather."""
+def _tri_test_packed(g: SceneGeometry, p, o, d, tmin, tmax, tw=None):
+    """Möller–Trumbore against the packed (T, 9) row — one gather
+    (two with motion: the shutter-end delta row, lerped by ``tw``)."""
     row = g.tri_packed[p]
+    if g.has_motion and tw is not None:
+        row = row + tw * g.tri_motion[p]
     v0 = row[0:3]
     e1 = row[3:6]
     e2 = row[6:9]
@@ -336,12 +360,11 @@ def _tri_test_packed(g: SceneGeometry, p, o, d, tmin, tmax):
     return hit, t, b1, b2
 
 
-def _traverse_one(g: SceneGeometry, o, d, tmin, tmax, any_hit: bool):
-    """Closest-hit (or any-hit) traversal for a single ray."""
+def _make_test_prim(g: SceneGeometry, o, d, tw=None):
+    """Per-primitive closest-test closure over a global prim id — shared by
+    all three accelerator traversals."""
     T = g.num_triangles
     Q = g.num_quadrics
-    inv_d = _make_inv_dir(d)
-    dir_neg = (d < 0.0).astype(jnp.int32)  # (3,)
 
     def test_prim(p, tmin_, tbest):
         # NOTE: no lax.cond here — under vmap a batched-predicate cond is
@@ -349,12 +372,12 @@ def _traverse_one(g: SceneGeometry, o, d, tmin, tmax, any_hit: bool):
         # per-lane (a rays × triangles blowup). Masked evaluation of both
         # cheap tests is branch-free and keeps the scene arrays shared.
         if Q == 0:
-            return _tri_test_packed(g, p, o, d, tmin_, tbest)
+            return _tri_test_packed(g, p, o, d, tmin_, tbest, tw)
         if T == 0:
             return _quad_test(g, p, o, d, tmin_, tbest)
         is_tri = p < T
         ht, tt_, b1t, b2t = _tri_test_packed(
-            g, jnp.minimum(p, T - 1), o, d, tmin_, tbest
+            g, jnp.minimum(p, T - 1), o, d, tmin_, tbest, tw
         )
         hq, tq_, b1q, b2q = _quad_test(
             g, jnp.clip(p - T, 0, Q - 1), o, d, tmin_, tbest
@@ -365,6 +388,18 @@ def _traverse_one(g: SceneGeometry, o, d, tmin, tmax, any_hit: bool):
             jnp.where(is_tri, b1t, b1q),
             jnp.where(is_tri, b2t, b2q),
         )
+
+    return test_prim
+
+
+def _traverse_one(g: SceneGeometry, o, d, tmin, tmax, any_hit: bool, tw=None):
+    """Closest-hit (or any-hit) traversal for a single ray. ``tw``: motion
+    time weight in [0, 1] (None for static scenes)."""
+    T = g.num_triangles
+    Q = g.num_quadrics
+    inv_d = _make_inv_dir(d)
+    dir_neg = (d < 0.0).astype(jnp.int32)  # (3,)
+    test_prim = _make_test_prim(g, o, d, tw)
 
     State = tuple  # (sp, stack, t_best, prim_best, b1, b2)
     stack0 = jnp.zeros(MAX_STACK, jnp.int32)
@@ -425,6 +460,205 @@ def _traverse_one(g: SceneGeometry, o, d, tmin, tmax, any_hit: bool):
     return t_best, prim_best, b1, b2
 
 
+#: leaf/voxel primitive tests run in statically-unrolled chunks of this size
+#: inside an inner while_loop (bounds leaf sizes without a build-time cap)
+CHUNK = 4
+
+
+def _leaf_chunk_loop(test_prim, ids, off, count, tmin, state, active_pred):
+    """Test ``count`` prims starting at ``ids[off]`` in CHUNK-wide waves.
+    state = (t_best, prim_best, b1, b2); ``active_pred`` masks the whole
+    leaf (e.g. interior node / pop mode)."""
+
+    def cond(s):
+        c = s[0]
+        return active_pred & (c < count)
+
+    def body(s):
+        c, t_best, prim_best, b1b, b2b = s
+        for k in range(CHUNK):
+            idx = off + c + k
+            in_leaf = (c + k) < count
+            p = ids[jnp.minimum(idx, ids.shape[0] - 1)]
+            h, t, u1, u2 = test_prim(p, tmin, t_best)
+            better = in_leaf & h & (t < t_best)
+            t_best = jnp.where(better, t, t_best)
+            prim_best = jnp.where(better, p, prim_best)
+            b1b = jnp.where(better, u1, b1b)
+            b2b = jnp.where(better, u2, b2b)
+        return (c + CHUNK, t_best, prim_best, b1b, b2b)
+
+    out = jax.lax.while_loop(cond, body, (jnp.int32(0),) + state)
+    return out[1:]
+
+
+def _traverse_kd_one(g: SceneGeometry, o, d, tmin, tmax, any_hit: bool,
+                     tw=None):
+    """kd-tree traversal for one ray (reference: KdTreeAccel::Intersect,
+    kdtreeaccel.cpp:374-462 — (node, tmin, tmax) todo stack, near child
+    first, early out when the closest hit precedes the next segment)."""
+    inv_d = _make_inv_dir(d)
+    test_prim = _make_test_prim(g, o, d, tw)
+    # clip against the scene bound
+    t0w = tmin
+    t1w = jnp.asarray(tmax, jnp.float32)
+    ok_box = _slab(g.world_lo, g.world_hi, o, inv_d, tmin, t1w)
+    enter = jnp.max(jnp.minimum((g.world_lo - o) * inv_d,
+                                (g.world_hi - o) * inv_d))
+    exit_ = jnp.min(jnp.maximum((g.world_lo - o) * inv_d,
+                                (g.world_hi - o) * inv_d))
+    t0w = jnp.maximum(t0w, enter)
+    t1w = jnp.minimum(t1w, exit_)
+
+    stack_n = jnp.zeros(MAX_STACK, jnp.int32)
+    stack_t0 = jnp.zeros(MAX_STACK, jnp.float32)
+    stack_t1 = jnp.zeros(MAX_STACK, jnp.float32)
+    # node = -1 → pop next; alive flag folds in the initial box miss
+    init = (
+        jnp.where(ok_box, jnp.int32(0), jnp.int32(-1)),
+        t0w, t1w,
+        jnp.int32(0), stack_n, stack_t0, stack_t1,
+        jnp.asarray(tmax, jnp.float32), jnp.int32(-1),
+        jnp.float32(0.0), jnp.float32(0.0),
+        ok_box,
+    )
+
+    def cond(s):
+        alive, prim_best = s[11], s[8]
+        if any_hit:
+            alive = alive & (prim_best < 0)
+        return alive
+
+    def body(s):
+        (node, t0n, t1n, sp, st_n, st_t0, st_t1,
+         t_best, prim_best, b1b, b2b, alive) = s
+        pop_mode = node < 0
+        node_c = jnp.maximum(node, 0)
+        axis = g.kd_axis[node_c]
+        is_leaf = (~pop_mode) & (axis == 3)
+
+        # --- leaf: chunked prim tests ---
+        t_best, prim_best, b1b, b2b = _leaf_chunk_loop(
+            test_prim, g.kd_prim_ids, g.kd_prim_off[node_c],
+            jnp.where(is_leaf, g.kd_prim_cnt[node_c], 0), tmin,
+            (t_best, prim_best, b1b, b2b), is_leaf,
+        )
+
+        # --- interior: descend / push far child ---
+        ax = jnp.minimum(axis, 2)
+        split = g.kd_split[node_c]
+        tplane = (split - o[ax]) * inv_d[ax]
+        below_first = (o[ax] < split) | ((o[ax] == split) & (d[ax] <= 0.0))
+        above = g.kd_above[node_c]
+        first = jnp.where(below_first, node_c + 1, above)
+        second = jnp.where(below_first, above, node_c + 1)
+        only_first = (tplane > t1n) | (tplane <= 0.0)
+        # ordered tests as in the reference (kdtreeaccel.cpp:419-424):
+        # the tplane<=0 / >t1 case wins over the <t0 case
+        only_second = (tplane < t0n) & ~only_first
+        both = (~only_first) & (~only_second)
+        interior = (~pop_mode) & (axis != 3)
+        push = interior & both
+        st_n = jnp.where(push, st_n.at[sp].set(second), st_n)
+        st_t0 = jnp.where(push, st_t0.at[sp].set(tplane), st_t0)
+        st_t1 = jnp.where(push, st_t1.at[sp].set(t1n), st_t1)
+        sp = sp + push.astype(jnp.int32)
+        node_next = jnp.where(only_second, second, first)
+        t1_next = jnp.where(both, tplane, t1n)
+
+        # --- pop (leaf done, or explicit pop mode) ---
+        want_pop = pop_mode | is_leaf
+        can_pop = sp > 0
+        sp_p = jnp.maximum(sp - 1, 0)
+        p_node = st_n[sp_p]
+        p_t0 = st_t0[sp_p]
+        p_t1 = st_t1[sp_p]
+        # popped segment fully behind the best hit → keep popping
+        again = t_best < p_t0
+        node = jnp.where(
+            want_pop,
+            jnp.where(can_pop & ~again, p_node, jnp.int32(-1)),
+            jnp.where(interior, node_next, node),
+        )
+        t0n = jnp.where(want_pop & can_pop, p_t0, t0n)
+        t1n = jnp.where(want_pop & can_pop, p_t1,
+                        jnp.where(interior, t1_next, t1n))
+        sp = jnp.where(want_pop & can_pop, sp_p, sp)
+        alive = alive & ~(want_pop & ~can_pop)
+        return (node, t0n, t1n, sp, st_n, st_t0, st_t1,
+                t_best, prim_best, b1b, b2b, alive)
+
+    out = jax.lax.while_loop(cond, body, init)
+    return out[7], out[8], out[9], out[10]
+
+
+def _traverse_grid_one(g: SceneGeometry, o, d, tmin, tmax, any_hit: bool,
+                       tw=None):
+    """Uniform-grid 3D-DDA for one ray (reference: GridAccel::Intersect,
+    grid.cpp:157-230 — walk voxels front-to-back, test each voxel's prims,
+    stop once the best hit precedes the next voxel crossing)."""
+    inv_d = _make_inv_dir(d)
+    test_prim = _make_test_prim(g, o, d, tw)
+    nx, ny, nz = g.grid_dims
+    dims = jnp.asarray([nx, ny, nz], jnp.int32)
+    dims_f = dims.astype(jnp.float32)
+    lo = g.world_lo
+    hi = g.world_hi
+    width = jnp.maximum((hi - lo) / dims_f, 1e-12)
+
+    enter = jnp.max(jnp.minimum((lo - o) * inv_d, (hi - o) * inv_d))
+    exit_ = jnp.min(jnp.maximum((lo - o) * inv_d, (hi - o) * inv_d))
+    t_enter = jnp.maximum(enter, tmin)
+    ok_box = (enter <= exit_) & (exit_ >= tmin) & (t_enter <= tmax)
+
+    p_in = o + t_enter * d
+    vox = jnp.clip(((p_in - lo) / width).astype(jnp.int32), 0, dims - 1)
+    step = jnp.where(d >= 0.0, 1, -1).astype(jnp.int32)
+    # parametric distance to the next crossing per axis and per-cell delta
+    next_edge = lo + (vox + (step > 0).astype(jnp.int32)).astype(
+        jnp.float32
+    ) * width
+    big = jnp.float32(1e30)
+    next_t = jnp.where(d != 0.0, (next_edge - o) * inv_d, big)
+    delta_t = jnp.where(d != 0.0, width * jnp.abs(inv_d), big)
+
+    init = (
+        vox, next_t,
+        jnp.asarray(tmax, jnp.float32), jnp.int32(-1),
+        jnp.float32(0.0), jnp.float32(0.0),
+        ok_box,
+    )
+
+    def cond(s):
+        alive, prim_best = s[6], s[3]
+        if any_hit:
+            alive = alive & (prim_best < 0)
+        return alive
+
+    def body(s):
+        vox, next_t, t_best, prim_best, b1b, b2b, alive = s
+        vid = vox[2] + nz * (vox[1] + ny * vox[0])
+        vid = jnp.clip(vid, 0, g.grid_cnt.shape[0] - 1)
+        t_best, prim_best, b1b, b2b = _leaf_chunk_loop(
+            test_prim, g.grid_ids, g.grid_off[vid],
+            jnp.where(alive, g.grid_cnt[vid], 0), tmin,
+            (t_best, prim_best, b1b, b2b), alive,
+        )
+        # advance to the next voxel along the smallest next_t
+        ax = jnp.argmin(next_t)
+        t_exit = next_t[ax]
+        # hits found in this voxel that precede the voxel exit are final
+        done_hit = (prim_best >= 0) & (t_best <= t_exit)
+        vox = vox.at[ax].add(step[ax])
+        out = (vox[ax] < 0) | (vox[ax] >= dims[ax])
+        next_t = next_t.at[ax].add(delta_t[ax])
+        alive = alive & ~done_hit & ~out & (t_exit <= t_best)
+        return (vox, next_t, t_best, prim_best, b1b, b2b, alive)
+
+    out = jax.lax.while_loop(cond, body, init)
+    return out[2], out[3], out[4], out[5]
+
+
 @functools.partial(jax.jit, static_argnames=("any_hit",))
 def intersect(g: SceneGeometry, ray: geom.Ray, any_hit: bool = False) -> Hit:
     """Batched closest-hit (or any-hit) intersection.
@@ -440,12 +674,33 @@ def intersect(g: SceneGeometry, ray: geom.Ray, any_hit: bool = False) -> Hit:
             b1=jnp.zeros((R,), jnp.float32),
             b2=jnp.zeros((R,), jnp.float32),
         )
-    f = jax.vmap(
-        lambda o, d, t0, t1: _traverse_one(g, o, d, t0, t1, any_hit),
-        in_axes=(0, 0, 0, 0),
-    )
-    t, prim, b1, b2 = f(ray.origin, ray.direction, ray.tmin, ray.tmax)
+    traverse = {
+        "bvh": _traverse_one,
+        "kdtree": _traverse_kd_one,
+        "grid": _traverse_grid_one,
+    }[g.accel_kind]
+    if g.has_motion:
+        tw = motion_weight(g, ray.time)
+        f = jax.vmap(
+            lambda o, d, t0, t1, w: traverse(g, o, d, t0, t1, any_hit, w),
+            in_axes=(0, 0, 0, 0, 0),
+        )
+        t, prim, b1, b2 = f(
+            ray.origin, ray.direction, ray.tmin, ray.tmax, tw
+        )
+    else:
+        f = jax.vmap(
+            lambda o, d, t0, t1: traverse(g, o, d, t0, t1, any_hit),
+            in_axes=(0, 0, 0, 0),
+        )
+        t, prim, b1, b2 = f(ray.origin, ray.direction, ray.tmin, ray.tmax)
     return Hit(t=t, prim=prim, b1=b1, b2=b2)
+
+
+def motion_weight(g: SceneGeometry, time):
+    """Normalize ray time into the transform interval → lerp weight."""
+    t0, t1 = g.motion_time[0], g.motion_time[1]
+    return jnp.clip((time - t0) / jnp.maximum(t1 - t0, 1e-9), 0.0, 1.0)
 
 
 def intersect_brute(g: SceneGeometry, ray: geom.Ray) -> Hit:

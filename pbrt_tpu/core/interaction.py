@@ -37,11 +37,18 @@ class SurfaceInteraction:
     mesh_id: jnp.ndarray  # (R,) i32 (fork metadata channel)
     prim: jnp.ndarray  # (R,) i32
     ray_epsilon: jnp.ndarray  # (R,)
+    # texture-space ray-cone footprint for mip filtering (the TPU-native
+    # replacement of DifferentialGeometry::ComputeDifferentials — ray cones
+    # instead of per-ray differential rays; zero when no spread given)
+    uv_sigma: jnp.ndarray = None  # (R,) minor-axis radius in uv units
+    uv_major: jnp.ndarray = None  # (R, 2) major-axis vector in uv units
 
 
 def surface_interaction(
-    g: SceneGeometry, ray: geom.Ray, hit: Hit
+    g: SceneGeometry, ray: geom.Ray, hit: Hit, spread=None
 ) -> SurfaceInteraction:
+    """``spread``: optional pixel cone half-width per unit distance (scalar
+    or (R,)) used to derive the uv-space texture footprint at the hit."""
     T = g.num_triangles
     Q = g.num_quadrics
     valid = hit.valid
@@ -60,6 +67,7 @@ def surface_interaction(
             ),
             wo=wo, material=neg1, area_light=neg1, mesh_id=neg1,
             prim=hit.prim, ray_epsilon=jnp.zeros((R,)),
+            uv_sigma=jnp.zeros((R,)), uv_major=jnp.zeros((R, 2)),
         )
 
     if T > 0:
@@ -69,9 +77,21 @@ def surface_interaction(
         b0 = 1.0 - b1 - b2
         e1 = g.tri_e1[ti]
         e2 = g.tri_e2[ti]
+        n0, n1, n2 = g.tri_n0[ti], g.tri_n1[ti], g.tri_n2[ti]
+        if g.has_motion:
+            from pbrt_tpu.accel.intersect import motion_weight
+
+            tw = motion_weight(g, ray.time)[:, None]
+            dm = g.tri_motion[ti]
+            e1 = e1 + tw * dm[:, 3:6]
+            e2 = e2 + tw * dm[:, 6:9]
+            dn = g.tri_n_motion[ti]
+            n0 = n0 + tw * dn[:, 0:3]
+            n1 = n1 + tw * dn[:, 3:6]
+            n2 = n2 + tw * dn[:, 6:9]
         ng_t = geom.normalize(jnp.cross(e1, e2))
         ns_t = geom.normalize(
-            b0[:, None] * g.tri_n0[ti] + b1[:, None] * g.tri_n1[ti] + b2[:, None] * g.tri_n2[ti]
+            b0[:, None] * n0 + b1[:, None] * n1 + b2[:, None] * n2
         )
         ng_t = geom.face_forward(ng_t, ns_t)
         uv_t = (
@@ -83,6 +103,44 @@ def surface_interaction(
         mat_t = g.tri_material[ti]
         al_t = g.tri_area_light[ti]
         mid_t = g.tri_mesh_id[ti]
+        if spread is not None:
+            # ray-cone texture footprint: the cone's circular cross-section
+            # (radius t·spread) projected onto the surface is an ellipse —
+            # minor axis ⊥ the view projection, major stretched by 1/cosθ.
+            # Map both world axes through the triangle's world→uv Jacobian
+            # (barycentric solve via the edge Gram matrix).
+            duv1 = g.tri_uv1[ti] - g.tri_uv0[ti]
+            duv2 = g.tri_uv2[ti] - g.tri_uv0[ti]
+            w_fp = (jnp.abs(jnp.where(jnp.isfinite(hit.t), hit.t, 0.0))
+                    * spread)
+            perp = jnp.cross(ng_t, wo)
+            pl = jnp.linalg.norm(perp, axis=-1, keepdims=True)
+            perp = jnp.where(pl > 1e-8, perp / jnp.maximum(pl, 1e-20),
+                             dpdu_t)
+            par = geom.normalize(jnp.cross(perp, ng_t))
+            cos_i = jnp.clip(jnp.abs(geom.dot(wo, ng_t)), 0.1, 1.0)
+
+            g11 = geom.dot(e1, e1)
+            g12 = geom.dot(e1, e2)
+            g22 = geom.dot(e2, e2)
+            det = jnp.maximum(g11 * g22 - g12 * g12, 1e-20)
+
+            def to_uv(delta):
+                d1 = geom.dot(e1, delta)
+                d2 = geom.dot(e2, delta)
+                a = (g22 * d1 - g12 * d2) / det
+                b = (g11 * d2 - g12 * d1) / det
+                return a[:, None] * duv1 + b[:, None] * duv2
+
+            ax1 = to_uv(w_fp[:, None] * perp)
+            ax2 = to_uv((w_fp / cos_i)[:, None] * par)
+            l1 = jnp.linalg.norm(ax1, axis=-1)
+            l2 = jnp.linalg.norm(ax2, axis=-1)
+            sigma_t = jnp.minimum(l1, l2)
+            major_t = jnp.where((l1 >= l2)[:, None], ax1, ax2)
+        else:
+            sigma_t = jnp.zeros(valid.shape)
+            major_t = jnp.zeros(valid.shape + (2,))
 
     if Q > 0:
         qi = jnp.clip(prim_safe - T, 0, Q - 1)
@@ -133,12 +191,19 @@ def surface_interaction(
         material = jnp.where(is_tri1, mat_t, mat_q)
         area_light = jnp.where(is_tri1, al_t, al_q)
         mesh_id = jnp.where(is_tri1, mid_t, mid_q)
+        # quadric footprint: isotropic level-0 (uv params are angular; mip
+        # filtering on quadrics is a documented gap)
+        uv_sigma = jnp.where(is_tri1, sigma_t, 0.0)
+        uv_major = jnp.where(is_tri1[:, None], major_t, 0.0)
     elif T > 0:
         ng, ns, uv, dpdu = ng_t, ns_t, uv_t, dpdu_t
         material, area_light, mesh_id = mat_t, al_t, mid_t
+        uv_sigma, uv_major = sigma_t, major_t
     else:
         ng, ns, uv, dpdu = n_w, n_w, uv_q, dpdu_q
         material, area_light, mesh_id = mat_q, al_q, mid_q
+        uv_sigma = jnp.zeros(valid.shape)
+        uv_major = jnp.zeros(valid.shape + (2,))
 
     neg1 = jnp.full(valid.shape, -1, jnp.int32)
     return SurfaceInteraction(
@@ -155,6 +220,8 @@ def surface_interaction(
         mesh_id=jnp.where(valid, mesh_id, neg1),
         prim=hit.prim,
         ray_epsilon=1e-3 * jnp.abs(hit.t),
+        uv_sigma=uv_sigma,
+        uv_major=uv_major,
     )
 
 

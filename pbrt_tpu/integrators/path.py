@@ -52,8 +52,12 @@ class RenderScene:
     vpls: object = None  # VPLSet (IGI preprocess product)
     photons: object = None  # PhotonMaps (photonmap preprocess product)
     probes: object = None  # ProbeGrid (useprobes input / createprobes output)
+    prt: object = None  # PRTData (diffuseprt/glossyprt preprocess product)
     has_textures: bool = static_field(default=False)
     has_volumes: bool = static_field(default=False)
+    #: camera pixel cone half-width per unit distance (ray-cone mip
+    #: filtering; 0 disables footprint computation entirely)
+    pixel_spread: float = static_field(default=0.0)
     has_subsurface: bool = static_field(default=False)
     has_vpls: bool = static_field(default=False)
     has_photons: bool = static_field(default=False)
@@ -70,6 +74,7 @@ class IntegratorConfig:
     metadata_channel: str = "depth"  # depth | mesh_mask | material_mask
     volume_kind: str = "emission"  # emission | single | none
     n_bins: int = 32
+    prt_nsamples: int = 32  # per-hit transfer/BSDF samples (diffuse/glossyprt)
 
 
 class KeySource:
@@ -185,6 +190,12 @@ def _nee_one_light(scene: RenderScene, si, lm, wo_local, frame, source, keys,
     return jnp.where(ok[..., None], contrib * n_lights, 0.0)
 
 
+def _spread_of(scene: RenderScene):
+    """Static gate: footprint math is compiled in only when the camera
+    published a nonzero pixel spread (textured perspective-like scenes)."""
+    return scene.pixel_spread if scene.pixel_spread > 0.0 else None
+
+
 def apply_textures(scene: RenderScene, si, lm):
     """Texture-bound material parameters + the fork's normal mapping.
 
@@ -198,10 +209,14 @@ def apply_textures(scene: RenderScene, si, lm):
     tt = scene.textures
     mats = scene.materials
     mi = jnp.maximum(si.material, 0)
+    fp = (si.uv_sigma, si.uv_major) if _spread_of(scene) is not None \
+        else (None, None)
 
     def override_spec(cur, tex_ids, rows):
         tid = tex_ids[rows]
-        val = jnp.maximum(tex_mod.eval_spectrum(tt, tid, si.uv, si.p), 0.0)
+        val = jnp.maximum(
+            tex_mod.eval_spectrum(tt, tid, si.uv, si.p, *fp), 0.0
+        )
         return jnp.where((tid >= 0)[..., None], val, cur)
 
     def apply_one(lane, rows):
@@ -256,6 +271,14 @@ def trace_radiance(scene: RenderScene, rays: geom.Ray, keys,
         from pbrt_tpu.integrators.irradiance import useprobes_li
 
         return useprobes_li(scene, rays, keys, cfg, scene.probes)
+    if cfg.kind == "diffuseprt":
+        from pbrt_tpu.integrators.prt import diffuseprt_li
+
+        return diffuseprt_li(scene, rays, keys, cfg)
+    if cfg.kind == "glossyprt":
+        from pbrt_tpu.integrators.prt import glossyprt_li
+
+        return glossyprt_li(scene, rays, keys, cfg)
 
     S = scene.materials.kd.shape[-1]
     R = rays.origin.shape[0]
@@ -317,7 +340,8 @@ def trace_radiance(scene: RenderScene, rays: geom.Ray, keys,
         (ray, L, throughput, alive, specular_bounce, prev_bsdf_pdf,
          first_hit_t) = carry
         hit = intersect(scene.geometry, ray)
-        si = surface_interaction(scene.geometry, ray, hit)
+        si = surface_interaction(scene.geometry, ray, hit,
+                                 spread=_spread_of(scene))
         first_hit_t = jnp.where(
             bounce == 0, jnp.where(si.valid, hit.t, 0.0), first_hit_t
         )
@@ -452,7 +476,8 @@ def trace_radiance(scene: RenderScene, rays: geom.Ray, keys,
     (ray, L, throughput, alive, specular_bounce, prev_bsdf_pdf, first_hit_t) = carry
     # final tail: one more intersect purely to collect Le on the last segment
     hit = intersect(scene.geometry, ray)
-    si = surface_interaction(scene.geometry, ray, hit)
+    si = surface_interaction(scene.geometry, ray, hit,
+                             spread=_spread_of(scene))
     first_hit_t = jnp.where(
         cfg.max_depth == 0, jnp.where(si.valid, hit.t, 0.0), first_hit_t
     )

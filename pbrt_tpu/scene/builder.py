@@ -151,13 +151,19 @@ def build(desc: SceneDescription) -> BuiltScene:
     S = cfg.n_bins
 
     # --- expand object instances into plain shape records -----------------
-    shape_records: list[tuple[ShapeRecord, np.ndarray]] = []
+    # each entry carries BOTH keyframe transforms; a difference marks an
+    # animated TransformedPrimitive (reference: core/primitive.h:89 +
+    # api.cpp:1071-1105 animated-shape handling)
+    shape_records: list[tuple[ShapeRecord, np.ndarray, np.ndarray]] = []
     for rec in desc.shapes:
-        shape_records.append((rec, rec.object_to_world.m[0]))
+        shape_records.append(
+            (rec, rec.object_to_world.m[0], rec.object_to_world.m[1])
+        )
     for inst in desc.instances:
         for rec in desc.objects.get(inst.name, []):
-            o2w = inst.instance_to_world.m[0] @ rec.object_to_world.m[0]
-            shape_records.append((rec, o2w))
+            o2w0 = inst.instance_to_world.m[0] @ rec.object_to_world.m[0]
+            o2w1 = inst.instance_to_world.m[1] @ rec.object_to_world.m[1]
+            shape_records.append((rec, o2w0, o2w1))
 
     # --- materials: dedupe by identity -------------------------------------
     mat_records = []
@@ -181,12 +187,18 @@ def build(desc: SceneDescription) -> BuiltScene:
     # area lights: (emit spectrum, nsamples, linkage)
     area_lights = []
 
-    for rec, o2w in shape_records:
+    tri_dv = []  # motion deltas of (v0, e1, e2), zeros for static meshes
+    tri_dn = []  # motion deltas of (n0, n1, n2)
+    any_motion = False
+    motion_times = (0.0, 1.0)
+
+    for rec, o2w, o2w_end in shape_records:
         mat_i = mat_id_for(rec.material)
         al_id = -1
         if rec.area_light is not None:
             al_id = len(area_lights)
         mesh = _refine_shape(rec, o2w)
+        animated = not np.allclose(o2w, o2w_end, atol=1e-12)
         if mesh is not None:
             start = sum(len(v) for v in tri_v0)
             idx = mesh.indices
@@ -228,6 +240,37 @@ def build(desc: SceneDescription) -> BuiltScene:
             tri_mat.append(np.full(count, mat_i, np.int32))
             tri_al.append(np.full(count, al_id, np.int32))
             tri_mid.append(np.full(count, rec.primitive_id, np.int32))
+            if animated:
+                any_motion = True
+                motion_times = tuple(rec.transform_times[:2])
+                mesh_e = _refine_shape(rec, o2w_end)
+                pe = mesh_e.positions
+                v0e = pe[idx[:, 0]]
+                e1e = pe[idx[:, 1]] - v0e
+                e2e = pe[idx[:, 2]] - v0e
+                dv = np.concatenate(
+                    [v0e - v0, e1e - e1, e2e - e2], axis=1
+                ).astype(np.float32)
+                if mesh_e.normals is not None:
+                    n0e = mesh_e.normals[idx[:, 0]]
+                    n1e = mesh_e.normals[idx[:, 1]]
+                    n2e = mesh_e.normals[idx[:, 2]]
+                else:
+                    fne = np.cross(e1e, e2e)
+                    fne /= np.maximum(
+                        np.linalg.norm(fne, axis=-1, keepdims=True), 1e-20
+                    )
+                    if rec.reverse_orientation:
+                        fne = -fne
+                    n0e = n1e = n2e = fne
+                dn = np.concatenate(
+                    [n0e - n0, n1e - n1, n2e - n2], axis=1
+                ).astype(np.float32)
+                tri_dv.append(dv)
+                tri_dn.append(dn)
+            else:
+                tri_dv.append(np.zeros((count, 9), np.float32))
+                tri_dn.append(np.zeros((count, 9), np.float32))
             if al_id >= 0:
                 areas = _triangle_areas(v0, e1, e2)
                 area_lights.append(
@@ -240,6 +283,11 @@ def build(desc: SceneDescription) -> BuiltScene:
                     )
                 )
         elif rec.shape_type in _QUADRIC_TYPES:
+            if animated:
+                warnings.warn(
+                    f"animated quadric {rec.shape_type!r}: motion blur is "
+                    "supported for meshes only; using the start transform"
+                )
             qtype = _QUADRIC_TYPES[rec.shape_type]
             prm = _quadric_params(rec)
             reverse = rec.reverse_orientation ^ xf.swaps_handedness(o2w)
@@ -283,9 +331,19 @@ def build(desc: SceneDescription) -> BuiltScene:
     T = len(v0)
     Q = len(quads)
 
+    dv = cat(tri_dv, 9) if any_motion else None
+    dn = cat(tri_dn, 9) if any_motion else None
+
     # --- BVH ----------------------------------------------------------------
     lo_t = np.minimum(np.minimum(v0, v0 + e1), v0 + e2) if T else np.zeros((0, 3))
     hi_t = np.maximum(np.maximum(v0, v0 + e1), v0 + e2) if T else np.zeros((0, 3))
+    if any_motion and T:
+        # union with shutter-end bounds so the static BVH covers the sweep
+        v0e, e1e, e2e = v0 + dv[:, 0:3], e1 + dv[:, 3:6], e2 + dv[:, 6:9]
+        lo_e = np.minimum(np.minimum(v0e, v0e + e1e), v0e + e2e)
+        hi_e = np.maximum(np.maximum(v0e, v0e + e1e), v0e + e2e)
+        lo_t = np.minimum(lo_t, lo_e)
+        hi_t = np.maximum(hi_t, hi_e)
     lo_q = np.zeros((Q, 3))
     hi_q = np.zeros((Q, 3))
     for i, q in enumerate(quads):
@@ -293,11 +351,45 @@ def build(desc: SceneDescription) -> BuiltScene:
     lo = np.concatenate([lo_t, lo_q])
     hi = np.concatenate([hi_t, hi_q])
     accel_name = desc.accelerator[0]
-    method = {"bvh": "sah", "kdtree": "sah", "grid": "middle"}.get(accel_name, "sah")
+    method = "sah"
     split = desc.accelerator[1].find_one_string("splitmethod", "sah")
     if split in ("middle", "equal"):
         method = split
     tree = bvh_mod.build_bvh(lo, hi, method=method)
+    # alternative accelerators (reference: kdtreeaccel.cpp, grid.cpp) —
+    # attached alongside the BVH arrays; traversal dispatches on accel_kind
+    accel_extra = {}
+    if accel_name in ("kdtree", "kdtreeaccel") and len(lo):
+        from pbrt_tpu.accel.kdtree import build_kdtree
+
+        ap = desc.accelerator[1]
+        kd = build_kdtree(
+            lo, hi,
+            isect_cost=ap.find_one_float("intersectcost", 80.0),
+            trav_cost=ap.find_one_float("traversalcost", 1.0),
+            empty_bonus=ap.find_one_float("emptybonus", 0.5),
+            max_prims=ap.find_one_int("maxprims", 8),
+        )
+        accel_extra = dict(
+            accel_kind="kdtree",
+            kd_split=jnp.asarray(kd.node_split),
+            kd_axis=jnp.asarray(kd.node_axis),
+            kd_above=jnp.asarray(kd.node_above),
+            kd_prim_off=jnp.asarray(kd.node_prim_off),
+            kd_prim_cnt=jnp.asarray(kd.node_prim_cnt),
+            kd_prim_ids=jnp.asarray(kd.prim_ids),
+        )
+    elif accel_name == "grid" and len(lo):
+        from pbrt_tpu.accel.grid import build_grid
+
+        gr = build_grid(lo, hi)
+        accel_extra = dict(
+            accel_kind="grid",
+            grid_dims=gr.dims,
+            grid_off=jnp.asarray(gr.voxel_off),
+            grid_cnt=jnp.asarray(gr.voxel_cnt),
+            grid_ids=jnp.asarray(gr.prim_ids),
+        )
     world_lo = lo.min(axis=0) if len(lo) else np.zeros(3)
     world_hi = hi.max(axis=0) if len(hi) else np.ones(3)
 
@@ -324,6 +416,11 @@ def build(desc: SceneDescription) -> BuiltScene:
         node_second=i32(tree.node_second), node_count=i32(tree.node_count),
         node_axis=i32(tree.node_axis), prim_order=i32(tree.prim_order),
         world_lo=f32(world_lo), world_hi=f32(world_hi),
+        tri_motion=f32(dv) if any_motion else None,
+        tri_n_motion=f32(dn) if any_motion else None,
+        motion_time=f32(np.asarray(motion_times)) if any_motion else None,
+        has_motion=bool(any_motion),
+        **accel_extra,
     )
     geometry = pack_geometry(geometry)
 
@@ -405,6 +502,14 @@ def build(desc: SceneDescription) -> BuiltScene:
         focal_length=getattr(camera, "focal_length_mm", 0.0),
         f_stop=getattr(camera, "f_stop", 0.0),
     )
+    # pixel ray-cone spread for mip-filtered texture lookups (fov spans the
+    # shorter image axis — reference: core/camera.cpp ProjectiveCamera screen
+    # window convention)
+    cam_fov = getattr(camera, "fov_deg", 0.0)
+    if 0.0 < cam_fov < 360.0 and len(tex_records) > 0:
+        res_short = max(min(film_cfg.xres, film_cfg.yres), 1)
+        spread = 2.0 * np.tan(np.deg2rad(cam_fov) / 2.0) / res_short
+        scene = dataclasses.replace(scene, pixel_spread=float(spread))
 
     sampler_name, sampler_params = desc.sampler
     spp = sampler_params.find_one_int("pixelsamples", 4)
@@ -422,10 +527,8 @@ def build(desc: SceneDescription) -> BuiltScene:
         "exphotonmap": "photonmap",
         "irradiancecache": "irradiancecache",
         "useprobes": "useprobes",
-        # PRT tiers approximated by the exact hemispherical gather the
-        # irradiance cache interpolates (documented divergence)
-        "diffuseprt": "irradiancecache",
-        "glossyprt": "irradiancecache",
+        "diffuseprt": "diffuseprt",
+        "glossyprt": "glossyprt",
     }.get(integ_name, "path")
     vol_name = desc.volume_integrator[0]
     vol_kind = {"emission": "emission", "single": "single"}.get(vol_name, "emission")
@@ -438,7 +541,24 @@ def build(desc: SceneDescription) -> BuiltScene:
         metadata_channel=integ_params.find_one_string("strategy", "depth"),
         volume_kind=vol_kind,
         n_bins=S,
+        # reference default is 4096 per-hit samples (diffuseprt.cpp:93);
+        # the wavefront evaluates all lanes in parallel, so a per-lane
+        # budget this size is capped (quality knob, documented divergence)
+        prt_nsamples=min(integ_params.find_one_int("nsamples", 4096), 64)
+        if integ_name in ("diffuseprt", "glossyprt") else 32,
     )
+
+    # PRT preprocess: SH-project incident radiance at the scene center
+    # (reference: diffuseprt.cpp:48-56 / glossyprt.cpp Preprocess)
+    if ikind in ("diffuseprt", "glossyprt"):
+        from pbrt_tpu.integrators.prt import project_incident_radiance
+
+        prt_data = project_incident_radiance(
+            scene, integrator,
+            lmax=integ_params.find_one_int("lmax", 4),
+            nsamples=min(integ_params.find_one_int("nsamples", 4096), 4096),
+        )
+        scene = dataclasses.replace(scene, prt=prt_data)
 
     # IGI preprocess: generate the VPL sets (reference: igi.cpp Preprocess)
     if ikind == "igi":

@@ -35,6 +35,14 @@ from pbrt_tpu.utils import pytree_dataclass, static_field
 
 MAX_NEST_DEPTH = 4
 
+#: mip pyramid depth cap (covers 8192² level-0 images)
+MAX_MIP_LEVELS = 14
+#: anisotropic filtering taps along the footprint's major axis
+#: (reference: mipmap.h:288-312 EWA; here a fixed-tap approximation —
+#: K trilinear probes spread over the major axis, which is the standard
+#: GPU-style anisotropic scheme and is branch-free on TPU)
+ANISO_TAPS = 4
+
 
 @pytree_dataclass
 class TextureTable:
@@ -49,9 +57,11 @@ class TextureTable:
     ref1: jnp.ndarray  # (K,) nested texture id (-1 = use c1)
     ref2: jnp.ndarray  # (K,)
     img_offset: jnp.ndarray  # (K,) offset into pool rows, -1 = none
-    img_w: jnp.ndarray  # (K,)
+    img_w: jnp.ndarray  # (K,) level-0 (pow2-resampled) width
     img_h: jnp.ndarray  # (K,)
-    pool_rgb: jnp.ndarray  # (P, 3) linear RGB texels
+    img_level_off: jnp.ndarray  # (K, MAX_MIP_LEVELS) per-level pool offsets
+    img_n_levels: jnp.ndarray  # (K,)
+    pool_rgb: jnp.ndarray  # (P, 3) linear RGB texels (all mip levels)
     # Perlin permutation (seeded)
     perm: jnp.ndarray  # (512,)
 
@@ -170,12 +180,14 @@ def _map_uv(tt: TextureTable, tid, si_uv, si_p):
     return u, v
 
 
-def _image_lookup(tt: TextureTable, tid, u, v):
-    """Bilinear image fetch from the flat pool → (R, 3) linear RGB
-    (reference: mipmap.h trilinear path, single level for now)."""
-    w = jnp.maximum(tt.img_w[tid], 1)
-    h = jnp.maximum(tt.img_h[tid], 1)
-    off = jnp.maximum(tt.img_offset[tid], 0)
+def _bilinear_at_level(tt: TextureTable, tid, u, v, lvl):
+    """Bilinear fetch at integer mip level ``lvl`` (per lane).
+
+    Level dims are ``base >> lvl`` (pow-2 level 0 guaranteed by the
+    builder's resample); offsets come from ``img_level_off``."""
+    w = jnp.maximum(tt.img_w[tid] >> lvl, 1)
+    h = jnp.maximum(tt.img_h[tid] >> lvl, 1)
+    off = jnp.maximum(tt.img_level_off[tid, lvl], 0)
     # repeat wrap (pbrt TEXTURE_REPEAT default)
     uu = (u % 1.0) * w.astype(u.dtype) - 0.5
     vv = (v % 1.0) * h.astype(v.dtype) - 0.5
@@ -203,7 +215,51 @@ def _image_lookup(tt: TextureTable, tid, u, v):
     )
 
 
-def _eval_base(tt: TextureTable, tid, si_uv, si_p, prev):
+def _trilinear(tt: TextureTable, tid, u, v, level_f):
+    """Isotropic trilinear mip filtering (reference: mipmap.h:84 triangle
+    path / Lookup(width)): lerp of bilinear fetches at the two bracketing
+    levels."""
+    n_lev = jnp.maximum(tt.img_n_levels[tid], 1)
+    lf = jnp.clip(level_f, 0.0, (n_lev - 1).astype(level_f.dtype))
+    l0 = jnp.floor(lf).astype(jnp.int32)
+    l1 = jnp.minimum(l0 + 1, n_lev - 1)
+    frac = (lf - l0.astype(lf.dtype))[..., None]
+    c0 = _bilinear_at_level(tt, tid, u, v, l0)
+    c1 = _bilinear_at_level(tt, tid, u, v, l1)
+    return (1.0 - frac) * c0 + frac * c1
+
+
+def _image_lookup(tt: TextureTable, tid, u, v, uv_sigma=None, uv_major=None):
+    """Filtered image fetch from the flat pool → (R, 3) linear RGB.
+
+    ``uv_sigma``: (R,) isotropic footprint radius in uv units (minor axis);
+    ``uv_major``: (R, 2) anisotropic major-axis vector in uv units. With no
+    footprint info this is a level-0 bilinear lookup (magnification path).
+    Anisotropy = ANISO_TAPS trilinear probes along the major axis with the
+    level picked from the minor axis — fixed-cost EWA approximation
+    (reference: mipmap.h:288-312 EWA; divergence documented)."""
+    res = jnp.maximum(
+        jnp.maximum(tt.img_w[tid], tt.img_h[tid]), 1
+    ).astype(jnp.float32)
+    if uv_sigma is None:
+        return _bilinear_at_level(tt, tid, u, v, jnp.zeros_like(tid))
+    # level where the minor-axis footprint spans ~1 texel
+    width = jnp.maximum(uv_sigma, 1e-8)
+    level_f = jnp.maximum(jnp.log2(width * res), 0.0)
+    if uv_major is None:
+        return _trilinear(tt, tid, u, v, level_f)
+    out = 0.0
+    for k in range(ANISO_TAPS):
+        s = (k + 0.5) / ANISO_TAPS - 0.5  # -.375 … +.375
+        out = out + _trilinear(
+            tt, tid, u + s * uv_major[..., 0], v + s * uv_major[..., 1],
+            level_f,
+        )
+    return out / ANISO_TAPS
+
+
+def _eval_base(tt: TextureTable, tid, si_uv, si_p, prev, uv_sigma=None,
+               uv_major=None):
     """One substitution pass: evaluate every lane's texture, using ``prev``
     (R, S) as the value of nested refs. Returns (R, S)."""
     S = tt.c1.shape[-1]
@@ -218,7 +274,14 @@ def _eval_base(tt: TextureTable, tid, si_uv, si_p, prev):
     w2t = tt.world_to_tex[tid]
     p_t = jnp.einsum("rij,rj->ri", w2t[:, :3, :3], si_p) + w2t[:, :3, 3]
 
-    img = _image_lookup(tt, tid, u, v)
+    # footprint follows the uv mapping's scale (uscale/vscale)
+    xf = tt.uv_xform[tid]
+    if uv_sigma is not None:
+        uv_sigma = uv_sigma * jnp.maximum(jnp.abs(xf[..., 0]),
+                                          jnp.abs(xf[..., 1]))
+    if uv_major is not None:
+        uv_major = uv_major * xf[..., 0:2]
+    img = _image_lookup(tt, tid, u, v, uv_sigma, uv_major)
     img_spec = spec.from_rgb(img) * tt.f1[tid][..., None]  # f1 = scale
 
     # checkerboard 2D (reference: checkerboard.h Checkerboard2DTexture)
@@ -275,9 +338,12 @@ def _eval_base(tt: TextureTable, tid, si_uv, si_p, prev):
     return out
 
 
-def eval_spectrum(tt: TextureTable, tex_id, si_uv, si_p):
+def eval_spectrum(tt: TextureTable, tex_id, si_uv, si_p, uv_sigma=None,
+                  uv_major=None):
     """Evaluate spectrum textures for the wavefront. tex_id (R,) (-1 lanes
-    get zeros). Fixed-depth substitution handles nesting."""
+    get zeros). Fixed-depth substitution handles nesting. ``uv_sigma`` /
+    ``uv_major``: optional texture-space footprint (minor radius, major
+    axis vector) for mip filtering — see ``_image_lookup``."""
     S = tt.c1.shape[-1]
     R = tex_id.shape[0]
     tid = jnp.maximum(tex_id, 0)
@@ -287,21 +353,76 @@ def eval_spectrum(tt: TextureTable, tex_id, si_uv, si_p):
     # nesting degrades gracefully to the refs' constant parameters)
     r1 = jnp.maximum(tt.ref1[tid], 0)
     r2 = jnp.maximum(tt.ref2[tid], 0)
-    v_r1 = _eval_base(tt, r1, si_uv, si_p, (zero, zero))
-    v_r2 = _eval_base(tt, r2, si_uv, si_p, (zero, zero))
-    out = _eval_base(tt, tid, si_uv, si_p, (v_r1, v_r2))
+    v_r1 = _eval_base(tt, r1, si_uv, si_p, (zero, zero), uv_sigma, uv_major)
+    v_r2 = _eval_base(tt, r2, si_uv, si_p, (zero, zero), uv_sigma, uv_major)
+    out = _eval_base(tt, tid, si_uv, si_p, (v_r1, v_r2), uv_sigma, uv_major)
     return jnp.where((tex_id >= 0)[..., None], out, 0.0)
 
 
-def eval_float(tt: TextureTable, tex_id, si_uv, si_p):
+def eval_float(tt: TextureTable, tex_id, si_uv, si_p, uv_sigma=None,
+               uv_major=None):
     """Float textures = mean of the spectral evaluation (float textures are
     stored as flat spectra)."""
-    return eval_spectrum(tt, tex_id, si_uv, si_p).mean(axis=-1)
+    return eval_spectrum(tt, tex_id, si_uv, si_p, uv_sigma, uv_major).mean(
+        axis=-1
+    )
 
 
 # ---------------------------------------------------------------------------
 # Host-side construction
 # ---------------------------------------------------------------------------
+
+
+def _next_pow2(n: int) -> int:
+    p = 1
+    while p < n:
+        p <<= 1
+    return p
+
+
+def _lanczos_weights(n_out: int, n_in: int, tau: float = 2.0):
+    """Separable Lanczos-2 resample weights, 4 taps per output texel
+    (reference: mipmap.h:59-140 resampleWeights / Lanczos)."""
+    x_out = (np.arange(n_out) + 0.5) * n_in / n_out
+    first = np.floor(x_out - 2.0 + 0.5).astype(np.int64)
+    offs = first[:, None] + np.arange(4)[None, :]  # (n_out, 4)
+    d = (offs + 0.5 - x_out[:, None]) / tau
+    w = np.sinc(d) * np.sinc(d / tau) * (np.abs(d) < 1.0)
+    s = w.sum(axis=1, keepdims=True)
+    w = np.where(s != 0, w / np.maximum(s, 1e-9), 0.25)
+    return np.clip(offs, 0, n_in - 1), w.astype(np.float32)
+
+
+def _resample_pow2(img: np.ndarray) -> np.ndarray:
+    """Resample (H, W, C) up to the next power-of-two dims (Lanczos)."""
+    H, W = img.shape[:2]
+    H2, W2 = _next_pow2(H), _next_pow2(W)
+    if H2 != H:
+        offs, w = _lanczos_weights(H2, H)
+        img = np.einsum("okwc,ok->owc", img[offs], w)
+    if W2 != W:
+        offs, w = _lanczos_weights(W2, W)
+        img = np.einsum("hokc,ok->hoc", img[:, offs], w)
+    return np.ascontiguousarray(img, dtype=np.float32)
+
+
+def _build_pyramid(img: np.ndarray) -> list:
+    """Pow-2 resample + 2×2 box-filtered mip chain down to 1×1
+    (reference: mipmap.h pyramid; box instead of Lanczos per level —
+    documented divergence, sub-level-0 filtering only)."""
+    img = _resample_pow2(img)
+    levels = [img]
+    while img.shape[0] > 1 or img.shape[1] > 1:
+        H, W = img.shape[:2]
+        h2, w2 = max(H // 2, 1), max(W // 2, 1)
+        if H > 1 and W > 1:
+            img = img.reshape(h2, 2, w2, 2, -1).mean(axis=(1, 3))
+        elif H > 1:
+            img = img.reshape(h2, 2, 1, -1).mean(axis=1)
+        else:
+            img = img.reshape(1, w2, 2, -1).mean(axis=2)
+        levels.append(np.ascontiguousarray(img, np.float32))
+    return levels[:MAX_MIP_LEVELS]
 
 
 def build_texture_table(records: dict, config) -> tuple:
@@ -339,6 +460,7 @@ def build_texture_table(records: dict, config) -> tuple:
             c1=np.zeros(S, np.float32), c2=np.zeros(S, np.float32),
             f1=1.0, f2=0.5, ref1=-1, ref2=-1,
             img_offset=-1, img_w=0, img_h=0,
+            img_level_off=[-1] * MAX_MIP_LEVELS, img_n_levels=0,
         )
         if rec.tex_class == "constant":
             r["c1"] = p.find_one_spectrum("value", 1.0)
@@ -370,11 +492,19 @@ def build_texture_table(records: dict, config) -> tuple:
                     gamma = p.find_one_bool("gamma", False)
                     if gamma:
                         img = img ** 2.2
-                    H, W = img.shape[:2]
-                    r["img_offset"] = sum(len(x) for x in pool)
+                    levels = _build_pyramid(img)
+                    H, W = levels[0].shape[:2]
+                    offs = []
+                    for lv in levels:
+                        offs.append(sum(len(x) for x in pool))
+                        pool.append(lv.reshape(-1, 3))
+                    r["img_offset"] = offs[0]
                     r["img_w"] = W
                     r["img_h"] = H
-                    pool.append(img.reshape(-1, 3))
+                    r["img_n_levels"] = len(offs)
+                    # clamp missing tail levels to the last (1×1) level
+                    offs = offs + [offs[-1]] * (MAX_MIP_LEVELS - len(offs))
+                    r["img_level_off"] = offs
                 except Exception as e:
                     import warnings
 
@@ -395,7 +525,8 @@ def build_texture_table(records: dict, config) -> tuple:
         rows = [dict(kind=T_CONSTANT, mapping=M_UV, uv_xform=[1, 1, 0, 0],
                      world_to_tex=np.eye(4), c1=np.zeros(S, np.float32),
                      c2=np.zeros(S, np.float32), f1=1.0, f2=0.5, ref1=-1,
-                     ref2=-1, img_offset=-1, img_w=0, img_h=0)]
+                     ref2=-1, img_offset=-1, img_w=0, img_h=0,
+                     img_level_off=[-1] * MAX_MIP_LEVELS, img_n_levels=0)]
     rng = np.random.default_rng(1234)
     perm256 = rng.permutation(256)
     perm = np.concatenate([perm256, perm256]).astype(np.int32)
@@ -415,6 +546,8 @@ def build_texture_table(records: dict, config) -> tuple:
         img_offset=i32("img_offset"),
         img_w=i32("img_w"),
         img_h=i32("img_h"),
+        img_level_off=i32("img_level_off"),
+        img_n_levels=i32("img_n_levels"),
         pool_rgb=jnp.asarray(np.concatenate(pool, axis=0)),
         perm=jnp.asarray(perm),
     )

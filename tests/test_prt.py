@@ -1,0 +1,74 @@
+"""PRT integrators (reference: integrators/diffuseprt.cpp,
+glossyprt.cpp + core/sh.cpp transfer projection)."""
+
+import numpy as np
+
+from pbrt_tpu.renderers.sampler import render
+from pbrt_tpu.scene.api import load_scene_string
+from pbrt_tpu.scene.builder import build
+
+ENV_FLOOR = """
+LookAt 0 3 -6  0 0 0  0 1 0
+Camera "perspective" "float fov" [40]
+Film "image" "integer xresolution" [16] "integer yresolution" [16]
+Sampler "random" "integer pixelsamples" [4]
+SurfaceIntegrator "%s" "integer lmax" [4] "integer nsamples" [128]
+WorldBegin
+LightSource "infinite" "rgb L" [1 1 1]
+Material "matte" "color Kd" [.6 .6 .6]
+Shape "trianglemesh" "point P" [-4 0 -4  4 0 -4  4 0 4  -4 0 4]
+  "integer indices" [0 1 2 2 3 0]
+%s
+WorldEnd
+"""
+
+BLOCKER = """
+AttributeBegin
+Material "matte" "color Kd" [.1 .1 .1]
+Translate 0 0.4 0
+Shape "trianglemesh" "point P" [-1.2 0 -1.2  1.2 0 -1.2  1.2 0 1.2  -1.2 0 1.2]
+  "integer indices" [0 1 2 2 3 0]
+AttributeEnd
+"""
+
+
+def _render(kind, extra=""):
+    built = build(load_scene_string(ENV_FLOOR % (kind, extra)))
+    state = render(built, verbose=False)
+    w = np.maximum(np.asarray(state.weight), 1e-9)
+    return np.asarray(state.pixels).mean(axis=-1) / w
+
+
+def test_diffuseprt_uniform_env_analytic():
+    """Matte floor under a constant env. The exact unoccluded answer is
+    Kd·L = 0.6; PRT band-limits the (floor-darkened) sphere lighting at
+    lmax=4, so the estimate lands below that but well above the
+    fully-dark value — the same behavior as the reference's SH chain.
+    Sky pixels bypass PRT (background Le) and must be exact."""
+    img = _render("diffuseprt")
+    floor = img[10:15, 4:12]  # lower rows: the floor
+    assert 0.42 < floor.mean() < 0.65
+    sky = img[0:3, :]
+    # "rgb L [1 1 1]" → spectrum bin-mean ≈ 0.95 (RGB→spectrum basis)
+    assert abs(sky.mean() - 0.95) < 0.05
+
+
+def test_diffuseprt_occlusion_darkens():
+    """A blocker hovering over the floor center removes sky visibility →
+    the shadowed region must be clearly darker than the open floor."""
+    img = _render("diffuseprt", BLOCKER)
+    open_img = _render("diffuseprt")
+    # compare the same floor band: with the blocker the region under it
+    # (seen around image center-bottom) is darker
+    center = img[11:14, 6:10].mean()
+    center_open = open_img[11:14, 6:10].mean()
+    assert center < 0.75 * center_open
+
+
+def test_glossyprt_uniform_env_reflectance():
+    """Direct-sampling glossy PRT under constant env: E[f·cos/pdf·L]
+    = ρ·L_SH. Matte (ρ=0.6) with the same band-limited lighting as the
+    diffuse test → same admissible band."""
+    img = _render("glossyprt")
+    floor = img[10:15, 4:12]
+    assert 0.42 < floor.mean() < 0.65
