@@ -18,10 +18,15 @@ ensemble (same stationary distribution; standard practice for GPU/TPU MLT).
 Kelemen small-step: δ = s2·exp(−log(s2/s1)·U) applied per dimension with
 wrap-around (reference: metropolis.cpp mutation sizes s1=1/1024, s2=1/16).
 
+``bidirectional`` (reference default true, metropolis.cpp:513) switches the
+estimator to the bidirectional connection machinery in
+``integrators/bdpt.py`` (camera/light subpaths + i×j connections, the
+Lbidir combination of metropolis.cpp:387-470); false uses the
+unidirectional path estimator.
+
 Divergences (documented): ``dodirectseparately``'s direct/indirect split is
 not reproduced — the full path estimator is mutated (same expectation,
-different variance profile); ``bidirectional`` path connection is not yet
-implemented (unidirectional path tracing with NEE carries the estimator).
+different variance profile).
 """
 
 from __future__ import annotations
@@ -40,7 +45,7 @@ from pbrt_tpu.film import film as film_mod
 from pbrt_tpu.integrators.path import PrimarySource, trace_radiance
 
 
-def _eval_paths(built, u, keys):
+def _eval_paths(built, u, keys, bidirectional=False):
     """Trace chains' primary vectors → (L (N,S), I (N,), px, py)."""
     cfg = built.film_config
     icfg = built.integrator
@@ -49,7 +54,12 @@ def _eval_paths(built, u, keys):
     rays = built.camera.generate_rays(
         px, py, u[:, 2], u[:, 3], u[:, 4], keys=keys
     )
-    L, _ = trace_radiance(built.scene, rays, keys, icfg, uniforms=u)
+    if bidirectional:
+        from pbrt_tpu.integrators.bdpt import trace_bidir
+
+        L, _ = trace_bidir(built.scene, rays, keys, icfg, uniforms=u)
+    else:
+        L, _ = trace_radiance(built.scene, rays, keys, icfg, uniforms=u)
     bad = jnp.isnan(L) | jnp.isinf(L) | (L < 0.0)
     L = jnp.where(bad, 0.0, L)
     I = spec.luminance(L)
@@ -83,8 +93,15 @@ def render_metropolis(built, spp=None, seed=0, quick=False, verbose=True,
     )
     if quick:
         mpp = max(1, mpp // 16)
+    # reference default: bidirectional = true (metropolis.cpp:513)
+    bidir = params.find_one_bool("bidirectional", True) if params else True
     n_pixels = cfg.xres * cfg.yres
-    D = PrimarySource.n_dims(built.integrator.max_depth)
+    if bidir:
+        from pbrt_tpu.integrators.bdpt import n_dims_bidir
+
+        D = n_dims_bidir(built.integrator.max_depth)
+    else:
+        D = PrimarySource.n_dims(built.integrator.max_depth)
     total_mutations = n_pixels * mpp
     n_iters = max(1, total_mutations // n_chains)
 
@@ -98,7 +115,7 @@ def render_metropolis(built, spp=None, seed=0, quick=False, verbose=True,
     kb = jax.random.fold_in(root, 1)
     u_boot = jax.random.uniform(kb, (nb, D))
     Lb, Ib, _, _ = jax.jit(lambda u: _eval_paths(built, u, chain_keys[
-        jnp.arange(nb) % n_chains]))(u_boot)
+        jnp.arange(nb) % n_chains], bidir))(u_boot)
     b = float(jnp.mean(Ib))
     if b <= 0.0:
         # black scene
@@ -107,7 +124,7 @@ def render_metropolis(built, spp=None, seed=0, quick=False, verbose=True,
     probs = probs / probs.sum()
     sel = np.random.default_rng(seed).choice(nb, n_chains, p=probs)
     u = u_boot[jnp.asarray(sel)]
-    L, I, px, py = jax.jit(lambda u: _eval_paths(built, u, chain_keys))(u)
+    L, I, px, py = jax.jit(lambda u: _eval_paths(built, u, chain_keys, bidir))(u)
 
     splat = jnp.zeros((cfg.yres, cfg.xres, cfg.n_bins), jnp.float32)
 
@@ -116,7 +133,7 @@ def render_metropolis(built, spp=None, seed=0, quick=False, verbose=True,
         u, L, I, px, py, splat = carry
         key_it = jax.random.fold_in(root, 1000 + it)
         u_new, is_large = _mutate(u, key_it, p_large)
-        L_new, I_new, px_new, py_new = _eval_paths(built, u_new, chain_keys)
+        L_new, I_new, px_new, py_new = _eval_paths(built, u_new, chain_keys, bidir)
         a = jnp.clip(I_new / jnp.maximum(I, 1e-12), 0.0, 1.0)
         # expected-value splatting (reference: metropolis.cpp:500-540):
         # candidate with weight a, current with weight 1-a; contributions

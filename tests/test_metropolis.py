@@ -14,7 +14,7 @@ Camera "perspective" "float fov" [50]
 Film "image" "integer xresolution" [16] "integer yresolution" [16]
 Sampler "lowdiscrepancy" "integer pixelsamples" [32]
 SurfaceIntegrator "path" "integer maxdepth" [3]
-Renderer "metropolis" "integer samplesperpixel" [64]
+Renderer "metropolis" "integer samplesperpixel" [64] %s
 WorldBegin
 AttributeBegin
   Material "matte" "color Kd" [0 0 0]
@@ -29,8 +29,8 @@ WorldEnd
 """
 
 
-def test_mlt_matches_path_tracing():
-    built = build(load_scene_string(SCENE))
+def _run_mlt(bidir: str):
+    built = build(load_scene_string(SCENE % f'"bool bidirectional" ["{bidir}"]'))
     state_mlt = render_metropolis(built, verbose=False, n_chains=4096)
     mlt_img = np.asarray(state_mlt.pixels).mean(-1)
     state_pt = render(built, verbose=False)
@@ -38,7 +38,23 @@ def test_mlt_matches_path_tracing():
         np.asarray(state_pt.weight)[..., None], 1e-9
     )
     pt_img = pt.mean(-1)
+    return mlt_img, pt_img
+
+
+def test_mlt_matches_path_tracing():
+    mlt_img, pt_img = _run_mlt("false")
     ratio = mlt_img.mean() / max(pt_img.mean(), 1e-9)
     assert 0.85 < ratio < 1.15
     corr = np.corrcoef(mlt_img.ravel(), pt_img.ravel())[0, 1]
     assert corr > 0.9
+
+
+def test_bidirectional_mlt_matches_path_tracing():
+    """The bidirectional estimator (reference default, metropolis.cpp:513)
+    targets the same radiance — parallel-chain MLT over it must converge
+    to the path-traced image."""
+    mlt_img, pt_img = _run_mlt("true")
+    ratio = mlt_img.mean() / max(pt_img.mean(), 1e-9)
+    assert 0.8 < ratio < 1.25
+    corr = np.corrcoef(mlt_img.ravel(), pt_img.ravel())[0, 1]
+    assert corr > 0.85
