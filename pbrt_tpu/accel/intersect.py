@@ -74,7 +74,7 @@ class SceneGeometry:
     world_lo: jnp.ndarray  # (3,)
     world_hi: jnp.ndarray  # (3,)
     #: packed hot data: one gather per node / per triangle in the traversal
-    #: node_packed: [lo.xyz, hi.xyz, bitcast(second), bitcast(count*4+axis)]
+    #: node_packed: [lo.xyz, hi.xyz, float(second), float(count*4+axis)]
     node_packed: jnp.ndarray = None  # (N, 8) f32
     #: tri_packed: [v0.xyz, e1.xyz, e2.xyz]
     tri_packed: jnp.ndarray = None  # (T, 9) f32
@@ -110,16 +110,21 @@ class SceneGeometry:
 
 
 def pack_geometry(g: "SceneGeometry") -> "SceneGeometry":
-    """Build the packed hot arrays (idempotent)."""
+    """Build the packed hot arrays (idempotent).
+
+    Node metadata rides in the f32 row as exact small integers (both
+    second-child index and count·4+axis are ≪ 2²⁴, so float32 represents
+    them exactly) — NOT as bitcasts: ``bitcast_convert_type`` inside the
+    vmapped traversal loop hard-crashes the axon TPU backend."""
     import dataclasses
 
-    meta = (g.node_count * 4 + g.node_axis).astype(jnp.int32)
+    meta = (g.node_count * 4 + g.node_axis).astype(jnp.float32)
     node_packed = jnp.concatenate(
         [
             g.node_lo.astype(jnp.float32),
             g.node_hi.astype(jnp.float32),
-            jax.lax.bitcast_convert_type(g.node_second, jnp.float32)[:, None],
-            jax.lax.bitcast_convert_type(meta, jnp.float32)[:, None],
+            g.node_second.astype(jnp.float32)[:, None],
+            meta[:, None],
         ],
         axis=1,
     )
@@ -425,8 +430,8 @@ def _traverse_one(g: SceneGeometry, o, d, tmin, tmax, any_hit: bool, tw=None):
         sp = sp - 1
         row = g.node_packed[node]  # single gather: lo, hi, second, meta
         hit_box = _slab(row[0:3], row[3:6], o, inv_d, tmin, t_best)
-        second = jax.lax.bitcast_convert_type(row[6], jnp.int32)
-        meta = jax.lax.bitcast_convert_type(row[7], jnp.int32)
+        second = row[6].astype(jnp.int32)  # exact: values < 2^24
+        meta = row[7].astype(jnp.int32)
         count = meta >> 2
         axis = meta & 3
         is_leaf = count > 0
