@@ -52,7 +52,9 @@ def main():
     built.integrator = IntegratorConfig(kind="path", max_depth=5, n_bins=32)
 
     cfg = built.film_config
-    chunk = int(os.environ.get("BENCH_CHUNK", str(1 << 16)))
+    # 1<<16-ray waves exceed the axon backend's per-program memory envelope
+    # (worker hard-crash); 1<<15 is the validated maximum
+    chunk = int(os.environ.get("BENCH_CHUNK", str(1 << 15)))
     ys, xs = np.divmod(np.arange(res * res, dtype=np.int32), res)
     root = rngmod.root_key(0)
     table = jnp.asarray(built.filter_table)

@@ -31,6 +31,10 @@ from pbrt_tpu.core import geometry as geom
 from pbrt_tpu.utils import pytree_dataclass, static_field
 
 MAX_STACK = 64
+#: node pops unrolled inside each while_loop iteration — amortizes the
+#: loop's fixed per-iteration overhead on TPU (masked no-ops when a lane's
+#: stack is empty)
+STEPS_PER_ITER = 4
 #: leaves are guaranteed ≤ this many prims by both BVH builders — the leaf
 #: test loop unrolls statically (a dynamic trip count under vmap would force
 #: JAX to broadcast the whole scene per-ray)
@@ -424,12 +428,16 @@ def _traverse_one(g: SceneGeometry, o, d, tmin, tmax, any_hit: bool, tw=None):
             alive = alive & (prim_best < 0)
         return alive
 
-    def body(s):
+    def one_step(s):
+        """Pop-and-process one node; no-op (fully masked) when sp == 0 —
+        lets the while body unroll STEPS_PER_ITER of these so the loop's
+        fixed per-iteration overhead amortizes."""
         sp, stack, t_best, prim_best, b1b, b2b = s
-        node = stack[sp - 1]
-        sp = sp - 1
+        active = sp > 0
+        node = stack[jnp.maximum(sp - 1, 0)]
+        sp = jnp.maximum(sp - 1, 0)
         row = g.node_packed[node]  # single gather: lo, hi, second, meta
-        hit_box = _slab(row[0:3], row[3:6], o, inv_d, tmin, t_best)
+        hit_box = active & _slab(row[0:3], row[3:6], o, inv_d, tmin, t_best)
         second = row[6].astype(jnp.int32)  # exact: values < 2^24
         meta = row[7].astype(jnp.int32)
         count = meta >> 2
@@ -460,6 +468,11 @@ def _traverse_one(g: SceneGeometry, o, d, tmin, tmax, any_hit: bool, tw=None):
         stack = jnp.where(push, stack.at[sp1].set(c_near), stack)
         sp = sp1 + push.astype(jnp.int32)
         return (sp, stack, t_best, prim_best, b1b, b2b)
+
+    def body(s):
+        for _ in range(STEPS_PER_ITER):
+            s = one_step(s)
+        return s
 
     sp, _, t_best, prim_best, b1, b2 = jax.lax.while_loop(cond, body, init)
     return t_best, prim_best, b1, b2

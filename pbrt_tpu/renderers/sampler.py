@@ -189,7 +189,9 @@ def render(built, spp=None, seed: int = 0, chunk_pixels: int | None = None,
     all_x = gx.ravel()
     all_y = gy.ravel()
     n_pix = len(all_x)
-    chunk = min(chunk_pixels or (1 << 18), n_pix)
+    # default wave width: 1<<15 rays — larger waves exceed the axon TPU
+    # backend's per-program memory envelope and hard-crash the worker
+    chunk = min(chunk_pixels or (1 << 15), n_pix)
     # pad to a whole number of chunks so shapes stay static
     pad = (-n_pix) % chunk
     if pad:
