@@ -103,6 +103,12 @@ class SceneGeometry:
     grid_off: jnp.ndarray = None  # (V,) i32 CSR
     grid_cnt: jnp.ndarray = None  # (V,) i32
     grid_ids: jnp.ndarray = None  # (M,) i32
+    # --- 8-wide unified BVH (accel/wide.py) — the default fast path.
+    # One (M, 80) f32 row per step: 8 child boxes+refs (node rows) or 8
+    # packed triangles (leaf rows). Quadrics are NOT in this tree; they are
+    # tested densely per ray (Q is small in every pbrt scene).
+    wide_rows: jnp.ndarray = None  # (M, 80) f32
+    wide_motion: jnp.ndarray = None  # (M, 80) f32 shutter-end deltas
 
     @property
     def num_triangles(self) -> int:
@@ -478,6 +484,190 @@ def _traverse_one(g: SceneGeometry, o, d, tmin, tmax, any_hit: bool, tw=None):
     return t_best, prim_best, b1, b2
 
 
+# ---------------------------------------------------------------------------
+# 8-wide unified-row traversal (the TPU fast path; see accel/wide.py)
+# ---------------------------------------------------------------------------
+
+#: shift-register stack depth (wide tree depth ~6 × up to 7 pushes, with
+#: headroom; n_stack is clamped to this so overflow degrades to dropped
+#: far subtrees instead of a popping livelock)
+WIDE_STACK = 64
+
+# Batcher odd-even merge network for 8 elements (19 compare-exchanges)
+_SORT8 = (
+    (0, 1), (2, 3), (4, 5), (6, 7),
+    (0, 2), (1, 3), (4, 6), (5, 7),
+    (1, 2), (5, 6),
+    (0, 4), (1, 5), (2, 6), (3, 7),
+    (2, 4), (3, 5),
+    (1, 2), (3, 4), (5, 6),
+)
+
+
+def _quad_best(g: SceneGeometry, o, d, tmin, tmax):
+    """Dense closest-hit over ALL quadrics for one ray (Q is tiny; this
+    keeps the 6-way quadric switch out of the traversal loop entirely).
+    Returns (t, prim, b1, b2) with prim a global id or -1."""
+    T = g.num_triangles
+    Q = g.num_quadrics
+
+    def one(q):
+        return _quad_test(g, q, o, d, tmin, tmax)
+
+    hit, t, u, v = jax.vmap(one)(jnp.arange(Q))
+    t = jnp.where(hit, t, jnp.inf)
+    best = jnp.argmin(t)
+    has = hit[best]
+    return (
+        jnp.where(has, t[best], tmax),
+        jnp.where(has, best.astype(jnp.int32) + T, -1),
+        jnp.where(has, u[best], 0.0),
+        jnp.where(has, v[best], 0.0),
+    )
+
+
+def _traverse_wide_one(g: SceneGeometry, o, d, tmin, tmax, any_hit: bool,
+                       tw=None):
+    """Closest-hit (or any-hit) over the unified wide table, single ray.
+
+    Per step: ONE row gather + (as masked VPU work) both the node
+    interpretation — 8 slab tests, sort-by-entry, push — and the leaf
+    interpretation — 8 Möller–Trumbore tests. The stack is a shift
+    register (static roll + slot-0 writes), never a scatter.
+    Replaces the reference's LinearBVHNode stack walk (bvh.cpp:105-200).
+    """
+    rows = g.wide_rows
+    inv_d = _make_inv_dir(d)
+
+    # quadrics first: their result seeds t_best so the tree prunes on it
+    if g.num_quadrics > 0:
+        qt, qp, qb1, qb2 = _quad_best(g, o, d, tmin, tmax)
+    else:
+        qt, qp = jnp.asarray(tmax, jnp.float32), jnp.int32(-1)
+        qb1 = qb2 = jnp.float32(0.0)
+
+    if g.num_triangles == 0 or rows is None:
+        return qt, qp, qb1, qb2
+
+    stack0 = jnp.zeros(WIDE_STACK, jnp.int32)
+    init = (
+        jnp.int32(0),          # cur ref (row 0 is always a node row)
+        stack0,
+        jnp.int32(0),          # live stack entries
+        qt, qp, qb1, qb2,
+        jnp.bool_(True),
+    )
+
+    def cond(s):
+        alive, prim_best = s[7], s[4]
+        if any_hit:
+            alive = alive & (prim_best < 0)
+        return alive
+
+    def body(s):
+        cur, stack, n_stack, t_best, prim_best, b1b, b2b, alive = s
+        is_node = cur >= 0
+        row_idx = jnp.where(is_node, cur, -cur - 1)
+        row = rows[row_idx]  # THE gather (one per step)
+        if g.has_motion and tw is not None:
+            row = row + tw * g.wide_motion[row_idx]
+
+        # ---- node interpretation: slab-test 8 children ----
+        lo = jnp.stack([row[0:8], row[16:24], row[32:40]])    # (3, 8)
+        hi = jnp.stack([row[8:16], row[24:32], row[40:48]])
+        t0 = (lo - o[:, None]) * inv_d[:, None]
+        t1 = (hi - o[:, None]) * inv_d[:, None]
+        tn = jnp.max(jnp.minimum(t0, t1), axis=0)
+        tf = jnp.min(jnp.maximum(t0, t1), axis=0)
+        enter = jnp.maximum(tn, tmin)
+        exit_ = jnp.minimum(tf, t_best)
+        # empty slots carry inverted boxes; the per-axis min/max swap in the
+        # slab test would otherwise read them as infinite boxes
+        valid8 = row[0:8] <= row[8:16]
+        hit8 = (enter <= exit_) & valid8 & is_node & alive
+        refs = row[48:56].astype(jnp.int32)  # exact: |ref| < 2^24
+
+        # sort (entry, ref) ascending so the nearest child is visited first
+        key = jnp.where(hit8, enter, jnp.inf)
+        key = list(key)
+        refs_l = list(refs)
+        for i, j in _SORT8:
+            swap = key[i] > key[j]
+            ki, kj = key[i], key[j]
+            ri, rj = refs_l[i], refs_l[j]
+            key[i] = jnp.where(swap, kj, ki)
+            key[j] = jnp.where(swap, ki, kj)
+            refs_l[i] = jnp.where(swap, rj, ri)
+            refs_l[j] = jnp.where(swap, ri, rj)
+        n_hit = jnp.sum(hit8.astype(jnp.int32))
+
+        # ---- leaf interpretation: 8 Möller–Trumbore tests, vectorized
+        # over the 8 aligned SoA slots (no per-triangle unrolling: odd
+        # slice offsets would trigger lane-misaligned relayouts) ----
+        is_leaf = ~is_node
+        v0x, v0y, v0z = row[0:8], row[8:16], row[16:24]
+        e1x, e1y, e1z = row[24:32], row[32:40], row[40:48]
+        e2x, e2y, e2z = row[48:56], row[56:64], row[64:72]
+        pid = row[72:80].astype(jnp.int32)
+        pvx = d[1] * e2z - d[2] * e2y
+        pvy = d[2] * e2x - d[0] * e2z
+        pvz = d[0] * e2y - d[1] * e2x
+        det = e1x * pvx + e1y * pvy + e1z * pvz
+        inv_det = jnp.where(jnp.abs(det) < 1e-12, 0.0, 1.0 / det)
+        tvx, tvy, tvz = o[0] - v0x, o[1] - v0y, o[2] - v0z
+        b1 = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
+        qvx = tvy * e1z - tvz * e1y
+        qvy = tvz * e1x - tvx * e1z
+        qvz = tvx * e1y - tvy * e1x
+        b2 = (d[0] * qvx + d[1] * qvy + d[2] * qvz) * inv_det
+        t = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
+        ok8 = (
+            is_leaf & alive & (pid >= 0)
+            & (jnp.abs(det) >= 1e-12)
+            & (b1 >= 0.0) & (b2 >= 0.0) & (b1 + b2 <= 1.0)
+            & (t > tmin) & (t < t_best)
+        )
+        tcand = jnp.where(ok8, t, jnp.inf)
+        jbest = jnp.argmin(tcand)
+        sel = jax.lax.broadcasted_iota(jnp.int32, (8,), 0) == jbest
+        tsel = jnp.min(tcand)
+        any_ok = tsel < t_best
+        t_best = jnp.where(any_ok, tsel, t_best)
+        prim_best = jnp.where(any_ok, jnp.sum(jnp.where(sel, pid, 0)), prim_best)
+        b1b = jnp.where(any_ok, jnp.sum(jnp.where(sel, b1, 0.0)), b1b)
+        b2b = jnp.where(any_ok, jnp.sum(jnp.where(sel, b2, 0.0)), b2b)
+
+        # ---- control: descend to nearest child, push the rest ----
+        descend = is_node & (n_hit > 0)
+        pc = jnp.where(descend, n_hit - 1, 0)  # children to push
+        cands = refs_l[1:8]  # 7 sorted candidates (hits first)
+        variants = []
+        for k in range(8):
+            if k == 0:
+                variants.append(stack)
+            else:
+                variants.append(
+                    jnp.concatenate(
+                        [jnp.stack(cands[:k]), stack[: WIDE_STACK - k]]
+                    )
+                )
+        stack = variants[0]
+        for k in range(1, 8):
+            stack = jnp.where(pc == k, variants[k], stack)
+        n_stack = jnp.minimum(n_stack + pc, WIDE_STACK)
+
+        pop = ~descend
+        cur = jnp.where(descend, refs_l[0], stack[0])
+        stack_pop = jnp.concatenate([stack[1:], jnp.zeros(1, jnp.int32)])
+        stack = jnp.where(pop, stack_pop, stack)
+        alive = alive & ~(pop & (n_stack == 0))
+        n_stack = jnp.maximum(n_stack - pop.astype(jnp.int32), 0)
+        return (cur, stack, n_stack, t_best, prim_best, b1b, b2b, alive)
+
+    out = jax.lax.while_loop(cond, body, init)
+    return out[3], out[4], out[5], out[6]
+
+
 #: leaf/voxel primitive tests run in statically-unrolled chunks of this size
 #: inside an inner while_loop (bounds leaf sizes without a build-time cap)
 CHUNK = 4
@@ -692,11 +882,19 @@ def intersect(g: SceneGeometry, ray: geom.Ray, any_hit: bool = False) -> Hit:
             b1=jnp.zeros((R,), jnp.float32),
             b2=jnp.zeros((R,), jnp.float32),
         )
-    traverse = {
-        "bvh": _traverse_one,
-        "kdtree": _traverse_kd_one,
-        "grid": _traverse_grid_one,
-    }[g.accel_kind]
+    if g.accel_kind == "bvh" and g.wide_rows is not None:
+        traverse = _traverse_wide_one
+    elif g.accel_kind == "bvh" and g.num_triangles == 0:
+        # pure-quadric scene: dense quadric pass only
+        traverse = lambda g_, o, d, t0, t1, ah, tw=None: _quad_best(
+            g_, o, d, t0, t1
+        )
+    else:
+        traverse = {
+            "bvh": _traverse_one,
+            "kdtree": _traverse_kd_one,
+            "grid": _traverse_grid_one,
+        }[g.accel_kind]
     if g.has_motion:
         tw = motion_weight(g, ray.time)
         f = jax.vmap(

@@ -356,6 +356,18 @@ def build(desc: SceneDescription) -> BuiltScene:
     if split in ("middle", "equal"):
         method = split
     tree = bvh_mod.build_bvh(lo, hi, method=method)
+    # 8-wide unified BVH over triangles only (the TPU fast path;
+    # accel/wide.py). Quadrics are tested densely by the traversal.
+    wide = None
+    if T and accel_name not in ("kdtree", "kdtreeaccel", "grid"):
+        from pbrt_tpu.accel.wide import build_wide_bvh, LEAF_TRIS
+
+        tri_tree = bvh_mod.build_bvh(
+            lo_t, hi_t, method=method, max_prims_in_node=LEAF_TRIS
+        )
+        wide = build_wide_bvh(
+            tri_tree, v0, e1, e2, tri_motion=dv if any_motion else None
+        )
     # alternative accelerators (reference: kdtreeaccel.cpp, grid.cpp) —
     # attached alongside the BVH arrays; traversal dispatches on accel_kind
     accel_extra = {}
@@ -420,6 +432,12 @@ def build(desc: SceneDescription) -> BuiltScene:
         tri_n_motion=f32(dn) if any_motion else None,
         motion_time=f32(np.asarray(motion_times)) if any_motion else None,
         has_motion=bool(any_motion),
+        wide_rows=f32(wide.rows) if wide is not None else None,
+        wide_motion=(
+            f32(wide.motion_rows)
+            if wide is not None and wide.motion_rows is not None
+            else None
+        ),
         **accel_extra,
     )
     geometry = pack_geometry(geometry)
