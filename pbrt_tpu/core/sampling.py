@@ -325,6 +325,37 @@ PRIMES = [
 ]
 
 
+import functools
+
+import numpy as _np
+
+
+@functools.lru_cache(maxsize=16)
+def best_candidate_table(n: int, seed: int = 0) -> "_np.ndarray":
+    """(n, 2) Poisson-disk-like 2D point set via Mitchell's best-candidate
+    dart throwing with toroidal metric (host-side, cached per spp).
+
+    Reference: samplers/bestcandidate.cpp:40-120 consumes a precomputed
+    table generated offline by tools/samplepat.cpp (also dart throwing).
+    TPU redesign: one table per sample count, built at trace time and baked
+    into the wave kernel as a constant; every pixel applies its own threefry
+    toroidal shift, preserving the blue-noise structure within the pixel
+    while decorrelating across pixels. Incremental construction means every
+    prefix of the table is itself well distributed (progressive rendering).
+    """
+    rng = _np.random.default_rng(seed)
+    pts = _np.empty((max(n, 1), 2))
+    pts[0] = rng.uniform(0, 1, 2)
+    for i in range(1, n):
+        k = min(20 * i, 512)
+        cands = rng.uniform(0, 1, (k, 2))
+        d = _np.abs(pts[None, :i, :] - cands[:, None, :])
+        d = _np.minimum(d, 1.0 - d)  # toroidal distance
+        dist2 = (d * d).sum(-1).min(1)
+        pts[i] = cands[_np.argmax(dist2)]
+    return pts.astype(_np.float32)
+
+
 def stratified_1d(key, n: int, jitter: bool = True):
     """(reference: montecarlo.cpp StratifiedSample1D)."""
     offs = (jnp.arange(n) + (jax.random.uniform(key, (n,)) if jitter else 0.5)) / n

@@ -18,19 +18,15 @@ Functional parity map (reference file:line → here):
   - ToXYZ/ToRGB/y() (spectrum.h:352-430)                 → ``to_xyz``/``to_rgb``/``luminance``
   - GetValueAtWavelength (spectrum.h:384-405, fork)      → ``value_at_wavelength``
   - AssignValueAtIndex (spectrum.h:411, fork)            → functional ``.at[..., i].set(v)``
-  - FromRGB + Smits-style bases (spectrum.cpp:639+)      → ``from_rgb`` (bases are
-    *computed* at init by constrained smoothness optimization, not copied tables)
+  - FromRGB + Smits-style bases (spectrum.cpp:639+)      → ``from_rgb``
+    (the 14 basis SPDs are the reference's own public data tables, extracted
+    verbatim into ``cie_data.py`` and bin-averaged per config, so
+    RGB-parameterized scenes produce bin-identical spectra)
   - Blackbody (spectrum.cpp:187)                         → ``blackbody``
   - InterpolateSpectrumSamples (spectrum.cpp:199)        → ``interpolate_spectrum_samples``
 
 Known deliberate divergences from the reference (documented, intended
 behavior is matched):
-  - CIE matching functions use the Wyman–Sloan–Shirley multi-lobe Gaussian
-    analytic fits rather than the 471-entry tables; binned values agree to
-    ~1% which only affects RGB preview output, never the raw spectral film.
-  - RGB→spectrum bases are solved at init (smoothest spectrum that exactly
-    reproduces the target RGB) instead of pbrt's baked tables, so
-    from_rgb→to_rgb round-trips exactly by construction.
   - ``value_at_wavelength`` clamps the final bin instead of reading one past
     the end of the coefficient array (reference bug at spectrum.h:396 for
     wavelengths in the last bin).
@@ -44,42 +40,28 @@ import jax.numpy as jnp
 import numpy as np
 
 from pbrt_tpu.config import DEFAULT_SPECTRAL, SpectralConfig
+from pbrt_tpu.core import cie_data
 from pbrt_tpu.utils import pytree_dataclass, static_field
 
 # ---------------------------------------------------------------------------
-# CIE 1931 color matching functions — analytic multi-lobe Gaussian fits
-# (Wyman, Sloan & Shirley 2013, JCGT 2(2), "Simple Analytic Approximations to
-# the CIE XYZ Color Matching Functions", multi-lobe variant).
+# CIE 1931 2° observer color matching functions — the 471-sample 360–830 nm
+# tables (public standard data, identical to reference spectrum.cpp:215+).
 # ---------------------------------------------------------------------------
 
 
-def _piecewise_gauss(x, alpha, mu, sigma1, sigma2):
-    sigma = np.where(x < mu, sigma1, sigma2)
-    t = (x - mu) / sigma
-    return alpha * np.exp(-0.5 * t * t)
-
-
 def cie_x(lam: np.ndarray) -> np.ndarray:
-    """CIE 1931 x̄(λ), λ in nm (analytic fit)."""
-    return (
-        _piecewise_gauss(lam, 1.056, 599.8, 37.9, 31.0)
-        + _piecewise_gauss(lam, 0.362, 442.0, 16.0, 26.7)
-        + _piecewise_gauss(lam, -0.065, 501.1, 20.4, 26.2)
-    )
+    """CIE 1931 x̄(λ), λ in nm (table interpolation)."""
+    return np.interp(lam, cie_data.CIE_lambda, cie_data.CIE_X)
 
 
 def cie_y(lam: np.ndarray) -> np.ndarray:
-    """CIE 1931 ȳ(λ) (analytic fit)."""
-    return _piecewise_gauss(lam, 0.821, 568.8, 46.9, 40.5) + _piecewise_gauss(
-        lam, 0.286, 530.9, 16.3, 31.1
-    )
+    """CIE 1931 ȳ(λ) (table interpolation)."""
+    return np.interp(lam, cie_data.CIE_lambda, cie_data.CIE_Y)
 
 
 def cie_z(lam: np.ndarray) -> np.ndarray:
-    """CIE 1931 z̄(λ) (analytic fit)."""
-    return _piecewise_gauss(lam, 1.217, 437.0, 11.8, 36.0) + _piecewise_gauss(
-        lam, 0.681, 459.0, 26.0, 13.8
-    )
+    """CIE 1931 z̄(λ) (table interpolation)."""
+    return np.interp(lam, cie_data.CIE_lambda, cie_data.CIE_Z)
 
 
 #: ∫ȳ(λ)dλ for the CIE 1931 observer (lm/W conversion constant base).
@@ -136,90 +118,64 @@ class SpectrumTables:
 
 
 def _binned_cmf(config: SpectralConfig) -> np.ndarray:
-    """(3, n_bins) bin-averaged CIE x̄/ȳ/z̄ (dense 1nm sampling per bin)."""
+    """(3, n_bins) bin-averaged CIE x̄/ȳ/z̄ over each bin's span
+    (reference: SampledSpectrum::Init, spectrum.h:297-321)."""
     edges = config.bin_edges
     out = np.zeros((3, config.n_bins))
+    lam = cie_data.CIE_lambda
     for i in range(config.n_bins):
-        lam = np.linspace(edges[i], edges[i + 1], 64)
-        out[0, i] = cie_x(lam).mean()
-        out[1, i] = cie_y(lam).mean()
-        out[2, i] = cie_z(lam).mean()
+        lo, hi = edges[i], edges[i + 1]
+        out[0, i] = average_spectrum_samples(lam, cie_data.CIE_X, lo, hi)
+        out[1, i] = average_spectrum_samples(lam, cie_data.CIE_Y, lo, hi)
+        out[2, i] = average_spectrum_samples(lam, cie_data.CIE_Z, lo, hi)
     return out
 
 
-def _solve_smooth_basis(
-    M: np.ndarray, rgb_target: np.ndarray, n: int, nonneg: bool = True
-) -> np.ndarray:
-    """Smoothest spectrum s (n,) with M @ s == rgb_target (and s >= 0).
-
-    Minimizes ||D2 s||² + eps||s||² s.t. the 3 linear color constraints via
-    the KKT system, with an active-set loop pinning negative bins to zero.
-    This reproduces the *intent* of pbrt's baked Smits-style tables (smooth
-    nonnegative metamers for the 7 canonical colors) without copying them —
-    and unlike the baked tables, the constraint M s = rgb holds exactly, so
-    from_rgb → to_rgb round-trips by construction.
-    """
-    D = np.zeros((n - 2, n))
-    for i in range(n - 2):
-        D[i, i], D[i, i + 1], D[i, i + 2] = 1.0, -2.0, 1.0
-    A = D.T @ D + 1e-6 * np.eye(n)
-
-    def solve_free(free_idx):
-        nf = len(free_idx)
-        Af = A[np.ix_(free_idx, free_idx)]
-        Mf = M[:, free_idx]
-        kkt = np.block([[2.0 * Af, Mf.T], [Mf, np.zeros((3, 3))]])
-        rhs = np.concatenate([np.zeros(nf), rgb_target])
-        sol = np.linalg.lstsq(kkt, rhs, rcond=None)[0]
-        s = np.zeros(n)
-        s[free_idx] = sol[:nf]
-        return s
-
-    free = list(range(n))
-    s = solve_free(free)
-    if not nonneg:
-        return s
-    for _ in range(n):
-        neg = [i for i in free if s[i] < -1e-9]
-        if not neg:
-            break
-        free = [i for i in free if i not in neg]
-        if len(free) < 3:
-            break
-        s = solve_free(free)
-    return np.maximum(s, 0.0)
-
-
-_BASIS_RGBS = np.array(
-    [
-        [1.0, 1.0, 1.0],  # white
-        [0.0, 1.0, 1.0],  # cyan
-        [1.0, 0.0, 1.0],  # magenta
-        [1.0, 1.0, 0.0],  # yellow
-        [1.0, 0.0, 0.0],  # red
-        [0.0, 1.0, 0.0],  # green
-        [0.0, 0.0, 1.0],  # blue
-    ]
+# Smits-style RGB→spectrum basis SPDs in (white, cyan, magenta, yellow, red,
+# green, blue) order — the reference's own public data tables
+# (spectrum.cpp:639+), sampled on the 32-point RGB2SpectLambda grid.
+_REFL_BASIS_SPDS = (
+    cie_data.RGBRefl2SpectWhite,
+    cie_data.RGBRefl2SpectCyan,
+    cie_data.RGBRefl2SpectMagenta,
+    cie_data.RGBRefl2SpectYellow,
+    cie_data.RGBRefl2SpectRed,
+    cie_data.RGBRefl2SpectGreen,
+    cie_data.RGBRefl2SpectBlue,
+)
+_ILLUM_BASIS_SPDS = (
+    cie_data.RGBIllum2SpectWhite,
+    cie_data.RGBIllum2SpectCyan,
+    cie_data.RGBIllum2SpectMagenta,
+    cie_data.RGBIllum2SpectYellow,
+    cie_data.RGBIllum2SpectRed,
+    cie_data.RGBIllum2SpectGreen,
+    cie_data.RGBIllum2SpectBlue,
 )
 
 
 @functools.lru_cache(maxsize=8)
 def tables(config: SpectralConfig = DEFAULT_SPECTRAL) -> SpectrumTables:
-    """Lazily build (and cache) all spectral tables for a config."""
+    """Lazily build (and cache) all spectral tables for a config.
+
+    Mirrors SampledSpectrum::Init (spectrum.h:297-351): bin-average the CIE
+    curves and the 14 Smits basis SPDs onto the config's bin grid.
+    """
     cmf = _binned_cmf(config)  # (3, n_bins)
     yint = cmf[1].sum()
-    # to_xyz(s) = (s @ cmf.T) / yint ; constraint matrix mapping s → RGB:
-    M = (XYZ_TO_RGB @ cmf) / yint  # (3, n_bins)
-    n = config.n_bins
-    refl = np.stack([_solve_smooth_basis(M, rgb, n) for rgb in _BASIS_RGBS])
-    # Illuminant bases: same constraints but with a mild preference toward a
-    # daylight-like (blackbody 6500K) shape for the white basis.
-    illum = refl.copy()
-    bb = _blackbody_np(config.bin_centers, 6500.0)
-    bb = bb / (M[1] @ bb) * (M[1] @ refl[0])  # match white luminance channel
-    # project the 6500K curve onto the constraint set for RGB (1,1,1):
-    resid = _BASIS_RGBS[0] - M @ bb
-    illum[0] = np.maximum(bb + _solve_smooth_basis(M, resid, n, nonneg=False), 0.0)
+    edges = config.bin_edges
+    grid = cie_data.RGB2SpectLambda
+
+    def binned(spd):
+        return np.array(
+            [
+                average_spectrum_samples(grid, spd, edges[i], edges[i + 1])
+                for i in range(config.n_bins)
+            ]
+        )
+
+    refl = np.stack([binned(s) for s in _REFL_BASIS_SPDS])
+    illum = np.stack([binned(s) for s in _ILLUM_BASIS_SPDS])
     f32 = lambda a: jnp.asarray(np.asarray(a, dtype=np.float32))
     return SpectrumTables(
         X=f32(cmf[0]),
@@ -259,12 +215,17 @@ def from_rgb(rgb, kind: str = "reflectance", config: SpectralConfig = DEFAULT_SP
     """(..., 3) RGB → (..., n_bins) smooth spectrum.
 
     Smits-style reconstruction (reference: SampledSpectrum::FromRGB,
-    spectrum.cpp:399-530): decompose RGB into white + secondary + primary
-    contributions using the 7 precomputed smooth bases. Vectorized over
-    leading axes with jnp.where (no data-dependent branching).
+    spectrum.cpp:92-180): decompose RGB into white + secondary + primary
+    contributions using the reference's 7 basis spectra, then scale by .94
+    (reflectance, spectrum.cpp:133) / .86445 (illuminant, :175) and clamp.
+    Vectorized over leading axes with jnp.where (no data-dependent
+    branching).
     """
     t = tables(config)
-    basis = t.refl_basis if kind == "reflectance" else t.illum_basis
+    if kind == "reflectance":
+        basis, scale = t.refl_basis, 0.94
+    else:
+        basis, scale = t.illum_basis, 0.86445
     basis = basis.astype(rgb.dtype)
     white, cyan, magenta, yellow, red, green, blue = [basis[i] for i in range(7)]
     r, g, b = rgb[..., 0:1], rgb[..., 1:2], rgb[..., 2:3]
@@ -295,7 +256,7 @@ def from_rgb(rgb, kind: str = "reflectance", config: SpectralConfig = DEFAULT_SP
             ),
         ),
     )
-    return jnp.maximum(out, 0.0)
+    return jnp.maximum(out * scale, 0.0)
 
 
 def from_xyz(xyz, kind: str = "reflectance", config: SpectralConfig = DEFAULT_SPECTRAL):

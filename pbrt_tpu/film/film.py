@@ -152,8 +152,11 @@ def write_dat(
     with open(path, "wb") as f:
         f.write(f"{W} {H} {S}\n".encode())
         f.write(f"{cfg.focal_length} {cfg.f_stop} {cfg.fov}\n".encode())
-        # wavelength planes, each (H, W) float64, C order
-        planes = np.transpose(data, (2, 0, 1)).astype("<f8")
+        # wavelength planes in the reference/ISET pixel order: within each
+        # plane the pixel at image (y, x) lives at offset x*yPixelCount + y
+        # (spectralImage.cpp:332 `finalCMultiplied[nCMRows*(x*yPixelCount+y)+row]`,
+        # :363 plane-major write) — i.e. each plane is the (W, H) transpose.
+        planes = np.transpose(data, (2, 1, 0)).astype("<f8")
         f.write(planes.tobytes())
     return path
 
@@ -167,7 +170,7 @@ def write_depth_dat(state: FilmState, cfg: FilmConfig, path: str):
         H, W = d.shape
         f.write(f"{W} {H} 1\n".encode())
         f.write(b"0 0 0\n")
-        f.write(d.astype("<f8").tobytes())
+        f.write(d.T.astype("<f8").tobytes())
     return path
 
 
@@ -184,7 +187,8 @@ def read_dat(path: str):
             "fov": float(l2[2]),
         }
         planes = np.frombuffer(f.read(W * H * S * 8), dtype="<f8")
-    return planes.reshape(S, H, W).transpose(1, 2, 0), header
+    # planes are (S, W, H): pixel (y, x) at offset x*H + y (see write_dat)
+    return planes.reshape(S, W, H).transpose(2, 1, 0), header
 
 
 def to_rgb_image(state: FilmState, cfg: FilmConfig, config=None) -> np.ndarray:

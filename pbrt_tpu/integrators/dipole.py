@@ -146,9 +146,30 @@ def compute_irradiance(built, points, normals, seed=0, n_samples=4):
     return E / n_samples
 
 
-def prepare_subsurface(built, seed=0):
+def prepare_subsurface(built, seed=0, pointsfile: str | None = None):
     """Full preprocess (the reference's Preprocess phase). Returns
-    SubsurfaceData or None."""
+    SubsurfaceData or None.
+
+    ``pointsfile``: reuse a point set written by Renderer "surfacepoints"
+    instead of sampling (reference: dipolesubsurface.cpp reads the
+    ``pointsfile`` param through FindPoissonPointDistribution's cache)."""
+    import os
+
+    if pointsfile and os.path.exists(pointsfile):
+        from pbrt_tpu.renderers.surface_points import read_points_file
+
+        pts, normals, areas, _eps = read_points_file(pointsfile)
+        if len(pts) == 0:
+            return None
+        mat = np.zeros(len(pts), np.int32)
+        E = compute_irradiance(built, pts, normals, seed=seed)
+        return SubsurfaceData(
+            points=jnp.asarray(pts),
+            normals=jnp.asarray(normals),
+            areas=jnp.asarray(areas),
+            E=jnp.asarray(E),
+            material=jnp.asarray(mat),
+        )
     sampled = sample_surface_points(built, seed=seed)
     if sampled is None:
         return None

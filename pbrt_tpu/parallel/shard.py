@@ -48,25 +48,30 @@ def render_wave_sharded(
     sampler_name,
     spp,
     film_cfg,
+    sample_scale=None,
 ):
     """One sample wave with rays sharded over the mesh.
 
     pixel_x/pixel_y must have length divisible by mesh size. The film enters
     replicated, each device accumulates its shard's contributions into a
-    local copy, and the deltas are psum-merged.
+    local copy, and the deltas are psum-merged. ``sample_scale`` (R,) weights
+    whole samples (0 masks padding lanes exactly, any filter width).
     """
+    if sample_scale is None:
+        sample_scale = jnp.ones(pixel_x.shape, jnp.float32)
 
     @functools.partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(P(), P("rays"), P("rays")),
+        in_specs=(P(), P("rays"), P("rays"), P("rays")),
         out_specs=P(),
         check_vma=False,
     )
-    def step(film, px, py):
+    def step(film, px, py, scale):
         out = render_wave(
             film, scene, camera, filter_table, px, py,
             sample_idx, root_key, icfg, sampler_name, spp, film_cfg,
+            sample_scale=scale,
         )
         # merge partials: delta = out - film, summed across devices
         return film_mod.FilmState(
@@ -76,7 +81,7 @@ def render_wave_sharded(
             depth=film.depth + jax.lax.psum(out.depth - film.depth, "rays"),
         )
 
-    return step(film_state, pixel_x, pixel_y)
+    return step(film_state, pixel_x, pixel_y, sample_scale)
 
 
 @functools.partial(
@@ -85,11 +90,12 @@ def render_wave_sharded(
 )
 def _render_wave_sharded_jit(
     mesh, film_state, scene, camera, filter_table, pixel_x, pixel_y,
-    sample_idx, root_key, icfg, sampler_name, spp, film_cfg,
+    sample_idx, root_key, icfg, sampler_name, spp, film_cfg, sample_scale,
 ):
     return render_wave_sharded(
         mesh, film_state, scene, camera, filter_table, pixel_x, pixel_y,
         sample_idx, root_key, icfg, sampler_name, spp, film_cfg,
+        sample_scale=sample_scale,
     )
 
 
@@ -108,13 +114,14 @@ def render_sharded(built, mesh: Mesh | None = None, spp=None, seed=0,
     all_x = gx.ravel()
     all_y = gy.ravel()
     pad = (-len(all_x)) % n_dev
+    scale = np.ones(len(all_x) + pad, np.float32)
     if pad:
-        # pad by duplicating the first `pad` pixels; their rng keys are
-        # structural (pixel, sample) so the duplicates contribute exactly 2×
-        # — divided back out below (exact for filters ≤ 0.5px; wider filters
-        # see a sub-sample-level perturbation on those few pixels)
+        # pad with masked duplicate pixels: sample_scale=0 zeroes their
+        # filter weights inside add_samples, so padding contributes exactly
+        # nothing for ANY filter width (replaces the r1/r2 halving hack).
         all_x = np.concatenate([all_x, all_x[:pad]])
         all_y = np.concatenate([all_y, all_y[:pad]])
+        scale[-pad:] = 0.0
     film_state = film_mod.init_film(cfg)
     root = rngmod.root_key(seed)
     table = jnp.asarray(built.filter_table)
@@ -123,19 +130,27 @@ def render_sharded(built, mesh: Mesh | None = None, spp=None, seed=0,
             mesh, film_state, built.scene, built.camera, table,
             jnp.asarray(all_x), jnp.asarray(all_y), jnp.int32(s), root,
             built.integrator, built.sampler_name, spp, cfg,
-        )
-    if pad:
-        import dataclasses
-
-        dup_x = all_x[:pad]
-        dup_y = all_y[:pad]
-        half = lambda a: a.at[dup_y, dup_x].multiply(0.5)
-        film_state = dataclasses.replace(
-            film_state,
-            pixels=half(film_state.pixels),
-            weight=half(film_state.weight),
-            splat=half(film_state.splat),
-            depth=half(film_state.depth),
+            jnp.asarray(scale),
         )
     jax.block_until_ready(film_state.pixels)
     return film_state
+
+
+def init_distributed(coordinator: str | None = None,
+                     num_processes: int | None = None,
+                     process_id: int | None = None):
+    """Multi-host startup (SURVEY §2.8): every host runs the same program;
+    ``jax.distributed.initialize`` wires the hosts into one global mesh.
+    On TPU pods all three arguments auto-detect from the pod metadata; on
+    CPU/GPU clusters pass coordinator "host:port", world size and rank.
+    Exposed via the CLI flag ``--distributed [coordinator]``.
+    """
+    kwargs = {}
+    if coordinator:
+        kwargs["coordinator_address"] = coordinator
+    if num_processes is not None:
+        kwargs["num_processes"] = num_processes
+    if process_id is not None:
+        kwargs["process_id"] = process_id
+    jax.distributed.initialize(**kwargs)
+    return jax.process_index(), jax.process_count()

@@ -39,6 +39,33 @@ def render_scene(built, spp=None, seed=0, quick=False, verbose=True, outfile=Non
         state = render_metropolis(
             built, spp=spp, seed=seed, quick=quick, verbose=verbose
         )
+    elif name == "createprobes":
+        # reference routing: api.cpp:1345-1359; params createprobes.cpp:317-330
+        from pbrt_tpu.renderers.probes import create_probes
+
+        p = built.renderer_params
+        lmax = p.find_one_int("lmax", 4)
+        nindir = p.find_one_int("indirectsamples", 512)
+        spacing = p.find_one_float("samplespacing", 1.0)
+        filename = p.find_one_string("filename", "probes.out")
+        g = built.scene.geometry
+        lo = np.asarray(g.world_lo)
+        hi = np.asarray(g.world_hi)
+        nprobes = tuple(
+            max(1, int(np.ceil(float(hi[i] - lo[i]) / spacing)))
+            for i in range(3)
+        )
+        create_probes(
+            built, lmax=lmax, nprobes=nprobes,
+            nindir=max(16, min(nindir, 256)), filename=filename,
+            verbose=verbose,
+        )
+        return [filename]
+    elif name == "surfacepoints":
+        # reference routing: api.cpp:1352-1356
+        from pbrt_tpu.renderers.surface_points import render_surface_points
+
+        return render_surface_points(built, quick=quick, verbose=verbose)
     elif name == "aggregatetest":
         from pbrt_tpu.renderers.aggregatetest import run_aggregate_test
 

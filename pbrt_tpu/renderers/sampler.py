@@ -31,17 +31,46 @@ def _sampler_uniforms(sampler_name: str, pixel_index, sample_idx, keys, spp):
     """Per-sample (image_u, image_v, lens_u, lens_v, time_u) in [0,1).
 
     lowdiscrepancy (default): scrambled (0,2)-sequence per pixel
-    (reference: samplers/lowdiscrepancy.cpp LDPixelSample); random:
+    (reference: samplers/lowdiscrepancy.cpp LDPixelSample); halton:
+    prime-base radical inverses with per-pixel Cranley–Patterson rotation
+    (reference: samplers/halton.cpp); bestcandidate: Mitchell dart-throwing
+    table with per-pixel toroidal shift (reference:
+    samplers/bestcandidate.cpp:40-120 + tools/samplepat.cpp); random:
     threefry uniforms; stratified: jittered subpixel grid.
     """
     n = jnp.asarray(sample_idx, jnp.uint32)
-    if sampler_name in ("lowdiscrepancy", "halton", "bestcandidate", "adaptive"):
+    if sampler_name in ("lowdiscrepancy", "adaptive"):
         k_img = rngmod.bounce_key(keys_base(keys, pixel_index), 0, rngmod.CAMERA)
         scr = jax.vmap(lambda k: jax.random.bits(k, (6,), jnp.uint32))(k_img)
         img = smp.sample02(n, scr[:, 0:2])
         lens = smp.sample02(n, scr[:, 2:4])
         tim = smp.van_der_corput(n, scr[:, 4])
         return img[:, 0], img[:, 1], lens[:, 0], lens[:, 1], tim
+    if sampler_name == "halton":
+        # Halton point n in prime bases (2,3 image; 5,7 lens; 11 time), with
+        # a per-pixel uniform rotation mod 1 — keeps the sequence's
+        # low-discrepancy structure inside each pixel while decorrelating
+        # neighbours (the wavefront analogue of halton.cpp's image-wide
+        # scrambled sequence).
+        k_img = rngmod.bounce_key(keys_base(keys, pixel_index), 0, rngmod.CAMERA)
+        shift = jax.vmap(lambda k: jax.random.uniform(k, (5,)))(k_img)
+        dims = [smp.radical_inverse(n, b) for b in (2, 3, 5, 7, 11)]
+        iu, iv, lu, lv, tu = [
+            jnp.minimum((d + shift[:, i]) % 1.0, smp.ONE_MINUS_EPS)
+            for i, d in enumerate(dims)
+        ]
+        return iu, iv, lu, lv, tu
+    if sampler_name == "bestcandidate":
+        tab = jnp.asarray(smp.best_candidate_table(max(spp, 1)))
+        k_img = rngmod.bounce_key(keys_base(keys, pixel_index), 0, rngmod.CAMERA)
+        scr = jax.vmap(lambda k: jax.random.bits(k, (3,), jnp.uint32))(k_img)
+        shift = jax.vmap(lambda k: jax.random.uniform(k, (2,)))(k_img)
+        base = tab[jnp.minimum(n, jnp.uint32(tab.shape[0] - 1))]
+        iu = jnp.minimum((base[0] + shift[:, 0]) % 1.0, smp.ONE_MINUS_EPS)
+        iv = jnp.minimum((base[1] + shift[:, 1]) % 1.0, smp.ONE_MINUS_EPS)
+        lens = smp.sample02(n, scr[:, 0:2])
+        tim = smp.van_der_corput(n, scr[:, 2])
+        return iu, iv, lens[:, 0], lens[:, 1], tim
     if sampler_name == "stratified":
         # decompose sample_idx into a ⌈√spp⌉ grid cell + jitter
         g = max(1, int(np.sqrt(spp)))

@@ -136,7 +136,16 @@ class ParamSet:
         """Resolve any spectral declaration to a binned (n_bins,) array.
 
         Handles: "rgb"/"color", "xyz", "spectrum" (inline pairs or .spd
-        file), "blackbody" (T, scale) — reference: paramset.cpp:293-380."""
+        file), "blackbody" (T, scale) — reference: paramset.cpp:293-380.
+
+        Parity quirk: the reference converts ALL rgb/xyz ParamSet values with
+        the REFLECTANCE basis regardless of context — AddRGBSpectrum
+        (paramset.cpp:89-97) calls FromRGB with its default type, and the
+        SpectrumType argument of the parser's InitParamSet is shadowed by a
+        local and never used (pbrtparse.cpp:2388-2391). The illuminant basis
+        is only reached through light image-map texel conversion
+        (SPECTRUM_ILLUMINANT at infinite.cpp:113 etc.), so ``kind`` here only
+        affects defaults supplied as RGB triples."""
         ent = self.entries.get(name)
         cfg = self.config
         if ent is None:
@@ -145,11 +154,13 @@ class ParamSet:
         self._used.add(name)
         if ptype in ("rgb", "color"):
             rgb = np.asarray(values[:3], np.float64)
-            return np.asarray(spec.from_rgb(rgb.astype(np.float32), kind, cfg))
+            return np.asarray(
+                spec.from_rgb(rgb.astype(np.float32), "reflectance", cfg)
+            )
         if ptype == "xyz":
             xyz = np.asarray(values[:3], np.float64)
             return np.asarray(
-                spec.from_xyz(xyz.astype(np.float32), kind, cfg)
+                spec.from_xyz(xyz.astype(np.float32), "reflectance", cfg)
             )
         if ptype == "blackbody":
             t = float(values[0])

@@ -48,6 +48,14 @@ EOF
 # glibc >= 2.32 removed <sys/sysctl.h>; the Linux code path never uses it.
 sed -i 's@#include <sys/sysctl.h>@// shim: sysctl.h removed on modern glibc@' core/parallel.cpp
 
+# Fork bug (crashes ss-envmap): the fork added `isect->materialId =
+# material->materialId` to GeometricPrimitive::Intersect (primitive.cpp:166)
+# but SurfacePointsRenderer's bounding-sphere primitive is built with a NULL
+# material (surfacepoints.cpp:120 `GeometricPrimitive sphere(sph, NULL, NULL)`),
+# so every dipole-subsurface render segfaults in the Poisson preprocessing.
+# Null-check it; the id is never consumed for bounding-sphere hits.
+sed -i 's@isect->materialId = material->materialId;@isect->materialId = material ? material->materialId : 0;@' core/primitive.cpp
+
 mkdir -p objs bin
 set -o pipefail
 make -j"$(nproc)" bin/pbrt 2>&1 | tail -5

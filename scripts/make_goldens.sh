@@ -28,12 +28,23 @@ patch_scene() {  # $1=name $2=xres $3=yres $4=spp $5=integrator-override
 import re, sys
 path, xres, yres, spp, integ = sys.argv[1:6]
 txt = open(path).read()
-txt = re.sub(r'"integer xresolution" \[\d+\]', f'"integer xresolution" [{xres}]', txt)
-txt = re.sub(r'"integer yresolution" \[\d+\]', f'"integer yresolution" [{yres}]', txt)
+# Strip any uncommented resolution params, then inject ours onto the Film
+# directive itself (bunny.pbrt keeps its resolution inside a comment, so a
+# plain regex substitution silently no-ops — round-2 lesson).
+txt = re.sub(r'(?m)^"integer xresolution" \[\d+\] *"integer yresolution" \[\d+\] *\n', '', txt)
+txt = re.sub(r'"integer xresolution" \[\d+\]', '', txt)
+txt = re.sub(r'"integer yresolution" \[\d+\]', '', txt)
+txt = re.sub(r'Film "image"',
+             f'Film "image" "integer xresolution" [{xres}] "integer yresolution" [{yres}]',
+             txt, count=1)
 txt = re.sub(r'"integer pixelsamples" \[\d+\]', f'"integer pixelsamples" [{spp}]', txt)
 if integ != "-":
-    txt = re.sub(r'SurfaceIntegrator "\w+"', f'SurfaceIntegrator "{integ}"', txt)
     txt = re.sub(r'Renderer "\w+"[^\n]*', '', txt)
+    if re.search(r'SurfaceIntegrator "\w+"', txt):
+        txt = re.sub(r'SurfaceIntegrator "\w+"', f'SurfaceIntegrator "{integ}"', txt)
+    else:
+        # metal.pbrt has no SurfaceIntegrator directive at all
+        txt = txt.replace('WorldBegin', f'SurfaceIntegrator "{integ}"\nWorldBegin', 1)
 # keep relative includes/textures resolvable: pbrt resolves relative to the
 # scene file directory, so rewrite file refs to absolute where simple
 txt = txt.replace('"string filename" "killeroo-simple.exr"', '"string filename" "killeroo-simple.dat"')
@@ -64,7 +75,10 @@ patch_scene anim-killeroos-moving 256 256 8 -
 for s in killeroo-simple metal bunny anim-killeroos-moving; do
     run_one "$s" || echo "FAILED: $s"
 done
-# ss-envmap: the reference's SurfacePointsRenderer races (and segfaults)
-# multithreaded under gcc-12 -O2; single-core is stable
+# ss-envmap needs the NULL-material fix applied by build_reference.sh (the
+# fork's GeometricPrimitive::Intersect dereferences a NULL material on the
+# SurfacePointsRenderer bounding sphere — segfaults unpatched). Single-core
+# keeps the Poisson point set deterministic for the pinned hash.
 run_one ss-envmap 1 || echo "FAILED: ss-envmap"
+sha256sum "$OUT"/*.dat > "$OUT/HASHES.sha256"
 ls -la "$OUT"

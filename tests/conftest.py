@@ -19,3 +19,10 @@ import jax  # noqa: E402
 # so pin the platform through the config API as well.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: heavy end-to-end tests (parity renders, MLT "
+        "convergence); deselect with `-m 'not slow'` for the fast tier"
+    )

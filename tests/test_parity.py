@@ -1,0 +1,135 @@
+"""Golden-image parity vs the reference binary's own renders.
+
+The reference's quality contract is golden-image comparison
+(src/tools/exrdiff.cpp:24-104 workflow; SURVEY §4). scripts/make_goldens.sh
+renders the five BASELINE configs with the reference binary into
+goldens/*.dat (gitignored — 16 MB each); goldens/HASHES.sha256 pins the
+exact bytes this test was validated against. If the .dat files are absent
+the tests skip with instructions; if present but different from the pinned
+hashes they fail (stale goldens).
+
+Methodology (VERDICT r2 #1): Monte-Carlo noise is uncorrelated between the
+two renderers (different RNG families), so pixelwise equality is impossible
+at golden spp. We therefore compare
+  1. per-wavelength-bin image means  — catches any spectral tilt (the r2
+     basis bug showed +12%%→−38%% per bin; tolerance here is a few %%),
+  2. per-bin spatial correlation on 4×4 box-downsampled planes — catches
+     geometry/transpose errors (the r2 transpose bug gave corr ≈ 0.0),
+  3. median relative error on bright downsampled pixels.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+GOLDENS = os.path.join(REPO, "goldens")
+
+# scene -> (spp override, per-bin mean tolerance, min spatial corr, median
+# bright-pixel rel-err). Tolerances documented per scene: direct-lighting
+# scenes are tight; path/glossy scenes get slack for MC variance.
+CONFIGS = {
+    "killeroo-simple": dict(spp=8, mean_tol=0.04, corr=0.97, med=0.08),
+    "metal": dict(spp=16, mean_tol=0.08, corr=0.90, med=0.25),
+    "bunny": dict(spp=8, mean_tol=0.06, corr=0.95, med=0.15),
+    "anim-killeroos-moving": dict(spp=8, mean_tol=0.06, corr=0.95, med=0.15),
+}
+
+
+def _golden(scene):
+    path = os.path.join(GOLDENS, f"{scene}.dat")
+    if not os.path.exists(path):
+        pytest.skip(
+            f"golden {scene}.dat not present — run scripts/build_reference.sh "
+            "then scripts/make_goldens.sh"
+        )
+    hashes = {}
+    with open(os.path.join(GOLDENS, "HASHES.sha256")) as f:
+        for line in f:
+            h, name = line.split()
+            hashes[name] = h
+    digest = hashlib.sha256(open(path, "rb").read()).hexdigest()
+    assert digest == hashes[f"{scene}.dat"], (
+        f"golden {scene}.dat does not match the pinned hash — regenerate "
+        "with scripts/make_goldens.sh or update HASHES.sha256"
+    )
+    from pbrt_tpu.film.film import read_dat
+
+    data, _ = read_dat(path)
+    return data
+
+
+def _render(scene, spp):
+    from pbrt_tpu.renderers.sampler import render
+    from pbrt_tpu.scene.api import load_scene
+    from pbrt_tpu.scene.builder import build
+
+    desc = load_scene(os.path.join(GOLDENS, f"{scene}.pbrt"))
+    built = build(desc)
+    state = render(built, spp=spp, verbose=False)
+    return np.asarray(state.pixels, np.float64) + np.asarray(
+        state.splat, np.float64
+    )
+
+
+def _downsample(img, f=4):
+    H, W, S = img.shape
+    return img[: H // f * f, : W // f * f].reshape(
+        H // f, f, W // f, f, S
+    ).mean((1, 3))
+
+
+def _check_parity(scene):
+    cfg = CONFIGS[scene]
+    ref = _golden(scene)
+    ours = _render(scene, cfg["spp"])
+    assert ours.shape == ref.shape, (ours.shape, ref.shape)
+
+    # 1. per-bin image means (catches spectral tilt)
+    m_ref = ref.mean((0, 1))
+    m_our = ours.mean((0, 1))
+    lit = m_ref > 1e-3 * m_ref.max()
+    ratio = m_our[lit] / m_ref[lit]
+    err = np.abs(ratio - 1.0)
+    assert err.max() < cfg["mean_tol"], (
+        f"{scene}: per-bin mean ratio off by {err.max():.3f} "
+        f"(bins {np.where(err >= cfg['mean_tol'])[0]}, ratios {ratio})"
+    )
+
+    # 2. per-bin spatial correlation on downsampled planes
+    dr = _downsample(ref)
+    do = _downsample(ours)
+    for b in np.where(lit)[0]:
+        r = np.corrcoef(dr[..., b].ravel(), do[..., b].ravel())[0, 1]
+        assert r > cfg["corr"], f"{scene}: bin {b} spatial corr {r:.3f}"
+
+    # 3. median relative error on bright downsampled pixels (all bins)
+    lum_r = dr.sum(-1)
+    bright = lum_r > np.percentile(lum_r, 75)
+    rel = np.abs(do[bright] - dr[bright]) / np.maximum(dr[bright], 1e-9)
+    med = np.median(rel)
+    assert med < cfg["med"], f"{scene}: median bright rel err {med:.3f}"
+
+
+@pytest.mark.slow
+def test_parity_killeroo_simple():
+    _check_parity("killeroo-simple")
+
+
+@pytest.mark.slow
+def test_parity_metal():
+    _check_parity("metal")
+
+
+@pytest.mark.slow
+def test_parity_bunny():
+    _check_parity("bunny")
+
+
+@pytest.mark.slow
+def test_parity_anim_killeroos():
+    _check_parity("anim-killeroos-moving")

@@ -140,3 +140,76 @@ def test_hg_pdf_normalized():
     p = np.asarray(smp.hg_pdf(jnp.asarray(mu), g))
     integral = 2 * np.pi * np.trapezoid(p, mu)
     assert abs(integral - 1.0) < 1e-3
+
+
+def test_best_candidate_table_blue_noise():
+    """Mitchell dart-throwing table must have a far larger minimum toroidal
+    pairwise distance than white noise (the Poisson-disk property the
+    reference's samplepat table provides, bestcandidate.cpp:40-120)."""
+    n = 16
+    tab = smp.best_candidate_table(n)
+    assert tab.shape == (n, 2)
+
+    def min_dist(pts):
+        d = np.abs(pts[:, None, :] - pts[None, :, :])
+        d = np.minimum(d, 1 - d)
+        d2 = (d * d).sum(-1)
+        d2[np.arange(len(pts)), np.arange(len(pts))] = np.inf
+        return np.sqrt(d2.min())
+
+    rng = np.random.default_rng(3)
+    rand_min = np.mean([min_dist(rng.uniform(0, 1, (n, 2))) for _ in range(20)])
+    assert min_dist(tab.astype(np.float64)) > 2.0 * rand_min
+    # prefixes are themselves well-spaced (progressive property)
+    assert min_dist(tab[:8].astype(np.float64)) > 2.0 * rand_min
+
+
+def test_halton_sampler_stratification():
+    """The halton sampler's image dims must be (0,1)-stratified per pixel:
+    base-2 over 8 samples fills every eighth; base-3 over 9 fills every
+    ninth (after removing the per-pixel rotation)."""
+    from pbrt_tpu.core import rng as rngmod
+    from pbrt_tpu.renderers.sampler import _sampler_uniforms
+
+    pix = jnp.arange(4, dtype=jnp.int32)
+    keys = rngmod.pixel_sample_key(
+        rngmod.root_key(0), pix, jnp.zeros_like(pix)
+    )
+    us = np.stack(
+        [
+            np.stack(
+                [
+                    np.asarray(a)
+                    for a in _sampler_uniforms("halton", pix, jnp.int32(s), keys, 9)
+                ],
+                -1,
+            )
+            for s in range(9)
+        ]
+    )  # (9 samples, 4 pixels, 5 dims)
+    assert us.shape == (9, 4, 5)
+    assert us.min() >= 0.0 and us.max() < 1.0
+    for p in range(4):
+        # iv dim is base 3: 9 consecutive samples hit all 9 ninths (rotation
+        # mod 1 permutes ninths cyclically but fractional shift keeps
+        # distinctness: check pairwise toroidal separation >= ~1/9)
+        iv = np.sort(us[:, p, 1])
+        gaps = np.diff(np.concatenate([iv, [iv[0] + 1.0]]))
+        assert gaps.max() < 2.0 / 9 + 1e-5
+        iu = np.sort(us[:8, p, 0])  # base 2, 8 samples
+        gaps = np.diff(np.concatenate([iu, [iu[0] + 1.0]]))
+        assert gaps.max() < 2.0 / 8 + 1e-5
+
+
+def test_bestcandidate_sampler_runs():
+    from pbrt_tpu.core import rng as rngmod
+    from pbrt_tpu.renderers.sampler import _sampler_uniforms
+
+    pix = jnp.arange(8, dtype=jnp.int32)
+    keys = rngmod.pixel_sample_key(rngmod.root_key(1), pix, jnp.zeros_like(pix))
+    for s in range(4):
+        vals = _sampler_uniforms("bestcandidate", pix, jnp.int32(s), keys, 4)
+        for v in vals:
+            a = np.asarray(v)
+            assert a.shape == (8,)
+            assert a.min() >= 0.0 and a.max() < 1.0
