@@ -109,6 +109,9 @@ class SceneGeometry:
     # tested densely per ray (Q is small in every pbrt scene).
     wide_rows: jnp.ndarray = None  # (M, 80) f32
     wide_motion: jnp.ndarray = None  # (M, 80) f32 shutter-end deltas
+    #: per-triangle shading row (pack_geometry): one aligned gather feeds
+    #: surface_interaction instead of 11 separate table gathers
+    tri_shade_rows: jnp.ndarray = None  # (T, 32) f32
 
     @property
     def num_triangles(self) -> int:
@@ -139,7 +142,33 @@ def pack_geometry(g: "SceneGeometry") -> "SceneGeometry":
         axis=1,
     )
     tri_packed = jnp.concatenate([g.tri_v0, g.tri_e1, g.tri_e2], axis=1)
-    return dataclasses.replace(g, node_packed=node_packed, tri_packed=tri_packed)
+    # per-triangle SHADING row: everything surface_interaction needs in one
+    # aligned 32-float gather (e1,e2,n0,n1,n2,uv0,uv1,uv2,material,
+    # area_light,mesh_id as exact f32) — replaces 11 separate gathers
+    # (r3 measured: 8.8 ms → row gather per 32k-ray wave)
+    T = g.num_triangles
+    if T:
+        f32 = lambda a: jnp.asarray(a, jnp.float32)
+        shade = jnp.concatenate(
+            [
+                f32(g.tri_e1), f32(g.tri_e2),
+                f32(g.tri_n0), f32(g.tri_n1), f32(g.tri_n2),
+                f32(g.tri_uv0), f32(g.tri_uv1), f32(g.tri_uv2),
+                f32(g.tri_material)[:, None],
+                f32(g.tri_area_light)[:, None],
+                f32(g.tri_mesh_id)[:, None],
+            ],
+            axis=1,
+        )
+        pad = (-shade.shape[1]) % 8
+        if pad:
+            shade = jnp.pad(shade, ((0, 0), (0, pad)))
+    else:
+        shade = jnp.zeros((0, 32), jnp.float32)
+    return dataclasses.replace(
+        g, node_packed=node_packed, tri_packed=tri_packed,
+        tri_shade_rows=shade,
+    )
 
 
 class Hit(NamedTuple):
@@ -488,10 +517,12 @@ def _traverse_one(g: SceneGeometry, o, d, tmin, tmax, any_hit: bool, tw=None):
 # 8-wide unified-row traversal (the TPU fast path; see accel/wide.py)
 # ---------------------------------------------------------------------------
 
-#: shift-register stack depth (wide tree depth ~6 × up to 7 pushes, with
-#: headroom; n_stack is clamped to this so overflow degrades to dropped
-#: far subtrees instead of a popping livelock)
-WIDE_STACK = 64
+#: shift-register stack depth: wide-tree depth ceil(log8 T) × up to 7
+#: pushes (48 covers ~16M triangles); n_stack is clamped to this so
+#: overflow degrades to dropped far subtrees instead of a popping livelock.
+#: Kept tight because every step's push/pop runs select chains over the
+#: whole register (stack width is pure VPU cost per step).
+WIDE_STACK = 48
 
 # Batcher odd-even merge network for 8 elements (19 compare-exchanges)
 _SORT8 = (

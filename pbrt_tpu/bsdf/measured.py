@@ -54,18 +54,33 @@ def brdf_remap(wo, wi):
     return jnp.stack([sini * sino, dphi / jnp.pi, cosi * coso], axis=-1)
 
 
+#: radius-doubling schedule of IrregIsotropicBRDF::f (reflection.cpp:254-263):
+#: start maxDist2=.001, double until >2 samples found or maxDist2 > 1.5.
+_IRREG_R2 = 0.001 * (2.0 ** np.arange(12, dtype=np.float64))
+
+
 def irreg_f_one(points, spectra, offset, count, wo, wi):
-    """Per-lane IrregIsotropic eval: Gaussian-weighted average over the
-    lane's sample range. points (P, 3), spectra (P, S); offset/count scalar.
+    """Per-lane IrregIsotropic eval (reference: IrregIsotropicBRDF::f,
+    reflection.cpp:251-264): find the smallest radius in the doubling
+    schedule holding >2 samples, then Gaussian-weight (e^{-100 d²}) ONLY the
+    samples inside it. The radius restriction matters: a global Gaussian
+    blend smears sharp specular lobes (measured r3 on mystique.brdf: up to
+    80x too bright at highlight configurations). points (P, 3),
+    spectra (P, S); offset/count scalar.
     """
     m = brdf_remap(wo, wi)
     P = points.shape[0]
     idx = jnp.arange(P)
     in_range = (idx >= offset) & (idx < offset + count)
     d2 = jnp.sum((points - m) ** 2, axis=-1)
-    w = jnp.where(in_range, jnp.exp(-100.0 * d2), 0.0)
+    d2 = jnp.where(in_range, d2, jnp.inf)
+    r2s = jnp.asarray(_IRREG_R2, d2.dtype)
+    counts = jnp.sum(d2[None, :] < r2s[:, None], axis=1)  # (12,)
+    ok = (counts > 2).at[-1].set(True)  # last step = the >1.5 bail-out
+    r2 = r2s[jnp.argmax(ok)]
+    w = jnp.where(d2 < r2, jnp.exp(-100.0 * d2), 0.0)
     wsum = jnp.sum(w)
-    v = w @ spectra
+    v = jnp.maximum(w @ spectra, 0.0)  # reference clamps v before dividing
     return jnp.where(wsum > 1e-9, v / wsum, 0.0)
 
 

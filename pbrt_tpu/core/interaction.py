@@ -75,9 +75,16 @@ def surface_interaction(
         b1 = hit.b1
         b2 = hit.b2
         b0 = 1.0 - b1 - b2
-        e1 = g.tri_e1[ti]
-        e2 = g.tri_e2[ti]
-        n0, n1, n2 = g.tri_n0[ti], g.tri_n1[ti], g.tri_n2[ti]
+        # ONE aligned row gather for all per-triangle shading fields
+        # (see pack_geometry: tri_shade_rows layout)
+        row = g.tri_shade_rows[ti]
+        e1 = row[:, 0:3]
+        e2 = row[:, 3:6]
+        n0, n1, n2 = row[:, 6:9], row[:, 9:12], row[:, 12:15]
+        uv0, uv1, uv2 = row[:, 15:17], row[:, 17:19], row[:, 19:21]
+        mat_t = row[:, 21].astype(jnp.int32)
+        al_t = row[:, 22].astype(jnp.int32)
+        mid_t = row[:, 23].astype(jnp.int32)
         if g.has_motion:
             from pbrt_tpu.accel.intersect import motion_weight
 
@@ -94,23 +101,16 @@ def surface_interaction(
             b0[:, None] * n0 + b1[:, None] * n1 + b2[:, None] * n2
         )
         ng_t = geom.face_forward(ng_t, ns_t)
-        uv_t = (
-            b0[:, None] * g.tri_uv0[ti]
-            + b1[:, None] * g.tri_uv1[ti]
-            + b2[:, None] * g.tri_uv2[ti]
-        )
+        uv_t = b0[:, None] * uv0 + b1[:, None] * uv1 + b2[:, None] * uv2
         dpdu_t = geom.normalize(e1)
-        mat_t = g.tri_material[ti]
-        al_t = g.tri_area_light[ti]
-        mid_t = g.tri_mesh_id[ti]
         if spread is not None:
             # ray-cone texture footprint: the cone's circular cross-section
             # (radius t·spread) projected onto the surface is an ellipse —
             # minor axis ⊥ the view projection, major stretched by 1/cosθ.
             # Map both world axes through the triangle's world→uv Jacobian
             # (barycentric solve via the edge Gram matrix).
-            duv1 = g.tri_uv1[ti] - g.tri_uv0[ti]
-            duv2 = g.tri_uv2[ti] - g.tri_uv0[ti]
+            duv1 = uv1 - uv0
+            duv2 = uv2 - uv0
             w_fp = (jnp.abs(jnp.where(jnp.isfinite(hit.t), hit.t, 0.0))
                     * spread)
             perp = jnp.cross(ng_t, wo)

@@ -291,7 +291,13 @@ def trace_radiance(scene: RenderScene, rays: geom.Ray, keys,
         L = carry_L
         hit_valid = si.valid & alive
         escaped = alive & (~si.valid)
-        if scene.lights.count > 0:
+        # static gates: compile in only the light families the scene uses
+        # (active_types is a static tuple — same mechanism as the lobe-set
+        # compaction; skipping the env half saves ~4 ms/bounce on env-less
+        # scenes like killeroo)
+        has_env = lights_mod.INFINITE in scene.lights.active_types
+        has_area = lights_mod.AREA in scene.lights.active_types
+        if scene.lights.count > 0 and has_env:
             le_bg = lights_mod.le_escaped(scene.lights, ray.direction)
             pdf_env = lights_mod.pdf_li(
                 scene.lights,
@@ -309,6 +315,7 @@ def trace_radiance(scene: RenderScene, rays: geom.Ray, keys,
             L = L + jnp.where(
                 escaped[..., None], throughput * le_bg * w_env[..., None], 0.0
             )
+        if scene.lights.count > 0 and has_area:
             le = lights_mod.emitted_radiance(
                 scene.lights, si.area_light, si.ng, si.wo
             )

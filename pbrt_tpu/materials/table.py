@@ -86,6 +86,12 @@ class MaterialTable:
     mix_m1: jnp.ndarray  # (M,) i32 row of namedmaterial1 (self if not mix)
     mix_m2: jnp.ndarray  # (M,) i32 row of namedmaterial2 (self if not mix)
     mix_amt: jnp.ndarray  # (M, S) amount spectrum (1 for non-mix rows)
+    #: packed hot row (built by pack_materials): 6 spectral fields + the 12
+    #: scalar dispatch fields in ONE aligned f32 row, so the per-bounce lane
+    #: gather is a single row fetch instead of 14 separate gathers (the
+    #: wide-BVH row lesson applied to shading; r3 measured gather_lane at
+    #: 6.2 ms/wave with separate gathers).
+    packed: jnp.ndarray = None  # (M, 6S+16) f32
     active_lobes: tuple = static_field(default=(L_LAMBERT,))
     has_mix: bool = static_field(default=False)
 
@@ -129,6 +135,30 @@ class MixLane:
     m2: jnp.ndarray  # (R,)
 
 
+def pack_materials(mt: MaterialTable) -> MaterialTable:
+    """Build the packed hot row (idempotent). Int fields ride as exact small
+    f32 (all ≪ 2²⁴)."""
+    import dataclasses
+
+    if mt.packed is not None:
+        return mt
+    f32 = lambda a: jnp.asarray(a, jnp.float32)
+    parts = [
+        f32(mt.kd), f32(mt.ks), f32(mt.kr), f32(mt.kt),
+        f32(mt.eta_spec), f32(mt.k_spec),
+        f32(mt.n_lobes)[:, None], f32(mt.lobe_type),
+        f32(mt.sigma)[:, None], f32(mt.exp_u)[:, None],
+        f32(mt.exp_v)[:, None], f32(mt.eta)[:, None],
+        f32(mt.irreg_offset)[:, None], f32(mt.irreg_count)[:, None],
+        f32(mt.merl_offset)[:, None],
+    ]
+    packed = jnp.concatenate(parts, axis=1)
+    pad = (-packed.shape[1]) % 8
+    if pad:
+        packed = jnp.pad(packed, ((0, 0), (0, pad)))
+    return dataclasses.replace(mt, packed=packed)
+
+
 def gather_lane(mt: MaterialTable, idx):
     if mt.has_mix:
         i = jnp.maximum(idx, 0)
@@ -146,22 +176,47 @@ def gather_lane(mt: MaterialTable, idx):
 
 
 def _gather_plain(mt: MaterialTable, i) -> LaneMaterial:
+    if mt.packed is None:
+        return LaneMaterial(
+            n_lobes=mt.n_lobes[i],
+            lobe_type=mt.lobe_type[i],
+            kd=mt.kd[i],
+            ks=mt.ks[i],
+            kr=mt.kr[i],
+            kt=mt.kt[i],
+            sigma=mt.sigma[i],
+            exp_u=mt.exp_u[i],
+            exp_v=mt.exp_v[i],
+            eta=mt.eta[i],
+            eta_spec=mt.eta_spec[i],
+            k_spec=mt.k_spec[i],
+            irreg_offset=mt.irreg_offset[i],
+            irreg_count=mt.irreg_count[i],
+            merl_offset=mt.merl_offset[i],
+            active_lobes=mt.active_lobes,
+        )
+    # one aligned row gather; fields sliced out of the row
+    S = mt.kd.shape[-1]
+    row = mt.packed[i]
+    sl = lambda a, b: row[..., a:b]
+    base = 6 * S
+    i32 = lambda x: x.astype(jnp.int32)
     return LaneMaterial(
-        n_lobes=mt.n_lobes[i],
-        lobe_type=mt.lobe_type[i],
-        kd=mt.kd[i],
-        ks=mt.ks[i],
-        kr=mt.kr[i],
-        kt=mt.kt[i],
-        sigma=mt.sigma[i],
-        exp_u=mt.exp_u[i],
-        exp_v=mt.exp_v[i],
-        eta=mt.eta[i],
-        eta_spec=mt.eta_spec[i],
-        k_spec=mt.k_spec[i],
-        irreg_offset=mt.irreg_offset[i],
-        irreg_count=mt.irreg_count[i],
-        merl_offset=mt.merl_offset[i],
+        n_lobes=i32(row[..., base]),
+        lobe_type=i32(sl(base + 1, base + 1 + MAX_LOBES)),
+        kd=sl(0, S),
+        ks=sl(S, 2 * S),
+        kr=sl(2 * S, 3 * S),
+        kt=sl(3 * S, 4 * S),
+        sigma=row[..., base + 1 + MAX_LOBES],
+        exp_u=row[..., base + 2 + MAX_LOBES],
+        exp_v=row[..., base + 3 + MAX_LOBES],
+        eta=row[..., base + 4 + MAX_LOBES],
+        eta_spec=sl(4 * S, 5 * S),
+        k_spec=sl(5 * S, 6 * S),
+        irreg_offset=i32(row[..., base + 5 + MAX_LOBES]),
+        irreg_count=i32(row[..., base + 6 + MAX_LOBES]),
+        merl_offset=i32(row[..., base + 7 + MAX_LOBES]),
         active_lobes=mt.active_lobes,
     )
 
@@ -766,7 +821,7 @@ def build_material_table(records, config, texture_index=None) -> MaterialTable:
                 lobe_type[i, s_] = remap[int(lobe_type[i, s_])]
 
     f = jnp.asarray
-    return MaterialTable(
+    return pack_materials(MaterialTable(
         kind=f(kind), n_lobes=f(n_lobes), lobe_type=f(lobe_type),
         kd=f(kd), ks=f(ks), kr=f(kr), kt=f(kt),
         sigma=f(sigma), exp_u=f(exp_u), exp_v=f(exp_v), eta=f(eta),
@@ -782,4 +837,4 @@ def build_material_table(records, config, texture_index=None) -> MaterialTable:
         mix_m1=f(mix_m1), mix_m2=f(mix_m2), mix_amt=f(mix_amt),
         active_lobes=active,
         has_mix=bool((kind == MIXMAT).any()),
-    )
+    ))

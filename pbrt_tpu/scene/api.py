@@ -175,7 +175,10 @@ class Api:
         self.sampler_spec = ("lowdiscrepancy", ParamSet())
         self.accelerator_spec = ("bvh", ParamSet())
         self.renderer_spec = ("sampler", ParamSet())
-        self.surf_integrator_spec = ("path", ParamSet())
+        # reference default is directlighting, NOT path (api.cpp:220) —
+        # scenes without a SurfaceIntegrator directive (e.g. bunny.pbrt)
+        # must not gain indirect illumination
+        self.surf_integrator_spec = ("directlighting", ParamSet())
         self.vol_integrator_spec = ("emission", ParamSet())
         self.camera_spec = ("perspective", ParamSet(), TransformSet.identity(), (0.0, 1.0))
         self.shapes: list[ShapeRecord] = []

@@ -729,24 +729,40 @@ def _build_lights(desc, area_lights, world_lo, world_hi, cfg):
             d = d / max(np.linalg.norm(d), 1e-12)
             rows.append(dict(type=lt_mod.DISTANT, emit=L, dirw=d, l2w=l2w))
         elif t == "infinite":
+            from pbrt_tpu.core import spectrum as spec_mod
+
             L = p.find_one_spectrum("L", 1.0, "illuminant") * p.find_one_float(
                 "scale", 1.0
             )
+            # Reference pipeline (infinite.cpp:60-77): texel_rgb *=
+            # L.ToRGBSpectrum() at load, then Spectrum(texel, ILLUMINANT)
+            # at lookup — i.e. the L spectrum modulates the map THROUGH an
+            # RGB roundtrip (white L ≈ flat 0.998 → rgb (1.202,.947,.905)),
+            # and even the no-map constant goes through ILLUM(ToRGB(L)).
+            L_rgb = np.asarray(spec_mod.to_rgb(jnp.asarray(L), cfg))
             mapname = p.find_one_filename("mapname", "")
             env = None
+            emit = None
             if mapname:
                 try:
                     from pbrt_tpu.film.imageio import read_image
 
                     img = read_image(mapname)  # (H, W, 3) linear RGB
-                    from pbrt_tpu.core import spectrum as spec_mod
-
+                    img = img * L_rgb[None, None, :]
                     env = np.asarray(
                         spec_mod.from_rgb(jnp.asarray(img), "illuminant", cfg)
                     )
+                    emit = np.ones(cfg.n_bins, np.float32)
                 except Exception as e:  # missing codec etc.
                     warnings.warn(f"infinite light map {mapname!r}: {e}; using constant")
-            rows.append(dict(type=lt_mod.INFINITE, emit=L, l2w=l2w, env=env))
+            if emit is None:
+                emit = np.asarray(
+                    spec_mod.from_rgb(
+                        jnp.asarray(np.maximum(L_rgb, 0.0), jnp.float32),
+                        "illuminant", cfg,
+                    )
+                )
+            rows.append(dict(type=lt_mod.INFINITE, emit=emit, l2w=l2w, env=env))
         elif t in ("projection", "goniometric"):
             I = p.find_one_spectrum("I", 1.0, "illuminant") * p.find_one_float(
                 "scale", 1.0

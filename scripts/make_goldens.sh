@@ -37,7 +37,14 @@ txt = re.sub(r'"integer yresolution" \[\d+\]', '', txt)
 txt = re.sub(r'Film "image"',
              f'Film "image" "integer xresolution" [{xres}] "integer yresolution" [{yres}]',
              txt, count=1)
-txt = re.sub(r'"integer pixelsamples" \[\d+\]', f'"integer pixelsamples" [{spp}]', txt)
+if re.search(r'"integer pixelsamples" \[\d+\]', txt):
+    txt = re.sub(r'"integer pixelsamples" \[\d+\]', f'"integer pixelsamples" [{spp}]', txt)
+else:
+    # bunny.pbrt has no Sampler directive at all — inject one (the r3 lesson:
+    # a silent no-op here rendered the golden at the default 4 spp)
+    txt = txt.replace(
+        'WorldBegin',
+        f'Sampler "lowdiscrepancy" "integer pixelsamples" [{spp}]\nWorldBegin', 1)
 if integ != "-":
     txt = re.sub(r'Renderer "\w+"[^\n]*', '', txt)
     if re.search(r'SurfaceIntegrator "\w+"', txt):
