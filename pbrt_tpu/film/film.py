@@ -49,6 +49,12 @@ class FilmConfig:
     filter: Filter = Filter()
     crop: tuple = (0.0, 1.0, 0.0, 1.0)
     filename: str = "out.dat"
+    #: film plugin name from the scene ("image" / "spectralImage" /
+    #: "spectralImageNoCamera"). The NoCamera variant additionally writes a
+    #: grayscale ``<name>_depth.exr`` (reference:
+    #: spectralImageNoCamera.cpp:284-302,388-390; its registration is
+    #: commented out in the reference api.cpp:697,717 — we register it)
+    kind: str = "image"
     # lens metadata written into the .dat header (filled by the camera,
     # reference: api.cpp:1423-1440 double-construction hack)
     focal_length: float = 0.0
@@ -172,6 +178,19 @@ def write_depth_dat(state: FilmState, cfg: FilmConfig, path: str):
         f.write(b"0 0 0\n")
         f.write(d.T.astype("<f8").tobytes())
     return path
+
+
+def write_depth_exr(state: FilmState, cfg: FilmConfig, path: str):
+    """Grayscale depth EXR: filter-weighted Z normalized by weightSum,
+    replicated to 3 channels (reference: SpectralImageNoCameraFilm::
+    WriteImage, spectralImageNoCamera.cpp:284-302 ``finalZ[...] =
+    max(0, Z * invWt)`` ×3 and :388-390 ``<name>_depth.exr``)."""
+    from pbrt_tpu.film.imageio import write_exr
+
+    w = np.asarray(state.weight, np.float64)
+    d = np.asarray(state.depth, np.float64) / np.maximum(w, 1e-12)
+    d = np.maximum(d, 0.0).astype(np.float32)
+    return write_exr(path, np.repeat(d[..., None], 3, axis=-1))
 
 
 def read_dat(path: str):

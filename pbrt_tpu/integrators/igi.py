@@ -41,41 +41,20 @@ def generate_vpls(scene, n_paths: int = 1024, max_depth: int = 3, seed: int = 11
     (reference: IGIIntegrator::Preprocess, igi.cpp:60-140)."""
     lt = scene.lights
     S = scene.materials.kd.shape[-1]
-    n_lights = max(lt.count, 1)
     keys = rngmod.pixel_sample_key(
         rngmod.root_key(seed), jnp.arange(n_paths), jnp.zeros(n_paths, jnp.int32)
     )
-    u0 = rngmod.uniform_per(keys, 6)
-    li = jnp.minimum((u0[:, 0] * n_lights).astype(jnp.int32), n_lights - 1)
-    # emit from light: sample a point/direction. For area lights sample the
-    # shape; for point lights the position; directions cosine/uniform.
-    # Approximation: sample_li from a point at the scene center to locate the
-    # light, then emit from there toward the scene (matches power ordering;
-    # exact Sample_L(scene) emission is a TODO refinement).
-    center = jnp.broadcast_to(lt.world_center, (n_paths, 3))
-    ls = lights_mod.sample_li(lt, scene.geometry, li, center, u0[:, 1], u0[:, 2])
-    p0 = center + ls.wi * jnp.where(
-        jnp.isfinite(ls.dist), ls.dist, 2.0 * lt.world_radius
-    )[:, None]
-    # emission direction: uniform sphere (power-correct up to constant)
-    d0 = jnp.stack(
-        [
-            jnp.sqrt(jnp.maximum(0.0, 1.0 - (1 - 2 * u0[:, 3]) ** 2))
-            * jnp.cos(2 * jnp.pi * u0[:, 4]),
-            jnp.sqrt(jnp.maximum(0.0, 1.0 - (1 - 2 * u0[:, 3]) ** 2))
-            * jnp.sin(2 * jnp.pi * u0[:, 4]),
-            1.0 - 2.0 * u0[:, 3],
-        ],
-        -1,
+    u0 = rngmod.uniform_per(keys, 5)
+    # power-weighted light pick + exact emission sampling
+    # (reference: igi.cpp:80-89 — lightDistribution->SampleDiscrete then
+    # light->Sample_L(scene, ls, ...); alpha = Le / (pdf · lightPdf))
+    li, light_pmf = lt.power_dist.sample_discrete(u0[:, 0])
+    es = lights_mod.sample_le(
+        lt, scene.geometry, li, u0[:, 1], u0[:, 2], u0[:, 3], u0[:, 4]
     )
-    # per-path power estimate, pre-divided by n_paths (instant-radiosity
-    # Φ_vpl = α/n_paths); absolute emission sampling is approximate (TODO:
-    # exact Light::Sample_L(scene) emission)
-    alpha = (
-        ls.L * (4.0 * jnp.pi * n_lights / jnp.maximum(ls.pdf, 1e-9))[:, None]
-        / n_paths
-    )
-    ray = geom.Ray.make(p0 + 1e-3 * d0, d0)
+    denom = jnp.maximum(es.pdf * light_pmf, 1e-12)
+    alpha = es.Le / denom[:, None] / n_paths
+    ray = geom.Ray.make(es.p + 1e-3 * es.d, es.d)
     vpl_p = jnp.zeros((n_paths * max_depth, 3))
     vpl_n = jnp.zeros((n_paths * max_depth, 3))
     vpl_c = jnp.zeros((n_paths * max_depth, S))

@@ -52,28 +52,21 @@ def shoot_photons(scene, n_paths=4096, max_depth=5, seed=17,
 
     lt = scene.lights
     S = scene.materials.kd.shape[-1]
-    n_lights = max(lt.count, 1)
     keys = rngmod.pixel_sample_key(
         rngmod.root_key(seed), jnp.arange(n_paths), jnp.zeros(n_paths, jnp.int32)
     )
-    u0 = rngmod.uniform_per(keys, 6)
-    li = jnp.minimum((u0[:, 0] * n_lights).astype(jnp.int32), n_lights - 1)
-    center = jnp.broadcast_to(lt.world_center, (n_paths, 3))
-    ls = lights_mod.sample_li(lt, scene.geometry, li, center, u0[:, 1], u0[:, 2])
-    p0 = center + ls.wi * jnp.where(
-        jnp.isfinite(ls.dist), ls.dist, 2.0 * lt.world_radius
-    )[:, None]
-    ct = 1.0 - 2.0 * u0[:, 3]
-    st = jnp.sqrt(jnp.maximum(0.0, 1.0 - ct * ct))
-    d0 = jnp.stack(
-        [st * jnp.cos(2 * jnp.pi * u0[:, 4]), st * jnp.sin(2 * jnp.pi * u0[:, 4]), ct],
-        -1,
+    u0 = rngmod.uniform_per(keys, 5)
+    # power-weighted light pick + exact emission sampling (reference:
+    # photonmap.cpp:330-345 — lightDistribution->SampleDiscrete then
+    # light->Sample_L(scene, ls, ...); alpha = Le·|cos(Nl,d)| / (pdf·pmf))
+    li, light_pmf = lt.power_dist.sample_discrete(u0[:, 0])
+    es = lights_mod.sample_le(
+        lt, scene.geometry, li, u0[:, 1], u0[:, 2], u0[:, 3], u0[:, 4]
     )
-    alpha = (
-        ls.L * (4.0 * jnp.pi * n_lights / jnp.maximum(ls.pdf, 1e-9))[:, None]
-        / n_paths
-    )
-    ray = geom.Ray.make(p0 + 1e-3 * d0, d0)
+    denom = jnp.maximum(es.pdf * light_pmf, 1e-12)
+    cos_l = jnp.abs(jnp.sum(es.d * es.n, axis=-1))
+    alpha = es.Le * (cos_l / denom)[:, None] / n_paths
+    ray = geom.Ray.make(es.p + 1e-3 * es.d, es.d)
     N = n_paths * max_depth
     ph_p = jnp.zeros((N, 3))
     ph_wi = jnp.zeros((N, 3))

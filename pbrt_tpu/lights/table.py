@@ -340,6 +340,219 @@ def sample_li(lt: LightTable, g, light_idx, p, u1, u2) -> LightSample:
     return LightSample(wi=wi, L=L, pdf=pdf, dist=dist, is_delta=is_delta)
 
 
+@pytree_dataclass
+class EmissionSample:
+    """Result of sample_le (Light::Sample_L(scene) semantics)."""
+
+    p: jnp.ndarray  # (R, 3) ray origin on/at the light
+    d: jnp.ndarray  # (R, 3) unit emission direction (light → scene)
+    n: jnp.ndarray  # (R, 3) light normal at the origin
+    Le: jnp.ndarray  # (R, S) emitted radiance / intensity
+    pdf: jnp.ndarray  # (R,) joint (area × direction) pdf of this sample
+
+
+def _proj_gonio_scale(lt: LightTable, li, w, is_proj):
+    """Angular modulation of an emitted direction ``w`` (light → scene):
+    ProjectionLight::Projection (projection.cpp) / GonioPhotometricLight::
+    Scale (goniometric.cpp y/z-swapped spherical lookup)."""
+    wl = geom.normalize(w @ lt.w2l[li][:3, :3].T)
+
+    def proj():
+        z = wl[2]
+        invt = lt.proj_invtan[li]
+        zs = jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
+        xs = wl[0] / zs * invt
+        ys = wl[1] / zs * invt
+        x0, x1, y0, y1 = (lt.proj_screen[li, k] for k in range(4))
+        inside = (z > 1e-3) & (xs >= x0) & (xs <= x1) & (ys >= y0) & (ys <= y1)
+        u = jnp.clip((xs - x0) / jnp.maximum(x1 - x0, 1e-9), 0.0, 1.0)
+        v = jnp.clip((ys - y0) / jnp.maximum(y1 - y0, 1e-9), 0.0, 1.0)
+        return jnp.where(inside, 1.0, 0.0) * _lmap_bilinear(
+            lt, lt.lmap_id[li], u, v
+        )
+
+    def gonio():
+        wp = jnp.stack([wl[0], wl[2], wl[1]])
+        theta = jnp.arccos(jnp.clip(wp[2], -1.0, 1.0))
+        phi = smp_phi(wp)
+        return _lmap_bilinear(
+            lt, lt.lmap_id[li], phi / (2.0 * jnp.pi), theta / jnp.pi
+        )
+
+    return jnp.where(is_proj, proj(), gonio())
+
+
+def _sample_le_one(lt: LightTable, g, li, u1, u2, u3, u4):
+    """Emission sample for one lane (reference: each light's
+    Light::Sample_L(scene, ls, u1, u2, time, ray, Ns, pdf) overload)."""
+    S = lt.emit.shape[-1]
+    emit = lt.emit[li]
+    wc = lt.world_center
+    wr = lt.world_radius
+
+    def e_point():
+        # point.cpp Sample_L(scene): uniform sphere, pdf 1/4π
+        d = smp.uniform_sample_sphere(u1, u2)
+        return lt.pos[li], d, d, emit, jnp.float32(smp.UNIFORM_SPHERE_PDF)
+
+    def e_spot():
+        # spot.cpp Sample_L(scene): uniform cone around the axis with
+        # falloff modulation, pdf = UniformConePdf(cosTotalWidth)
+        ct = lt.cos_total[li]
+        axis = lt.dirw[li]
+        ax, ay = geom.coordinate_system(axis)
+        dl = smp.uniform_sample_cone(u1, u2, ct)
+        d = dl[0] * ax + dl[1] * ay + dl[2] * axis
+        cos_t = jnp.dot(d, axis)
+        cf = lt.cos_falloff[li]
+        delta = jnp.clip((cos_t - ct) / jnp.maximum(cf - ct, 1e-9), 0.0, 1.0)
+        falloff = jnp.where(
+            cos_t < ct, 0.0, jnp.where(cos_t > cf, 1.0, delta**2 * delta**2)
+        )
+        return (
+            lt.pos[li], d, d, emit * falloff, smp.uniform_cone_pdf(ct)
+        )
+
+    def e_distant():
+        # distant.cpp:63-87: ray from a world-radius disk ⊥ light dir;
+        # pdf = 1/(π r²). Our dirw is the propagation direction (sample_li
+        # returns wi = -dirw toward the light).
+        d = lt.dirw[li]
+        v1, v2 = geom.coordinate_system(d)
+        d1, d2 = smp.concentric_sample_disk(u1, u2)
+        pdisk = wc + wr * (d1 * v1 + d2 * v2)
+        pdf = 1.0 / (jnp.pi * wr * wr)
+        return pdisk - wr * d, d, d, emit, pdf
+
+    def e_area():
+        # diffuse.cpp Sample_L(scene): area-sample the shape, uniform
+        # hemisphere direction flipped to the normal side,
+        # pdf = shapePdf · INV_TWOPI
+        p_l, n_l, pdf_a = _area_sample_point(lt, g, li, u1, u2)
+        d = smp.uniform_sample_sphere(u3, u4)
+        d = jnp.where(jnp.dot(d, n_l) < 0.0, -d, d)
+        pdf = pdf_a * (0.5 / jnp.pi)
+        return p_l, d, n_l, emit, pdf
+
+    def e_infinite():
+        # infinite.cpp:220-250: direction from the env Distribution2D
+        # (propagating inward), origin on the tangent world-radius disk;
+        # pdf = dirPdf · 1/(π r²)
+        has_env = lt.env_id[li] >= 0
+
+        def env_dir():
+            (u, v), pdf_uv = lt.env_dist.sample_continuous(u1, u2)
+            theta = v * jnp.pi
+            phi = u * 2.0 * jnp.pi
+            st, ct = jnp.sin(theta), jnp.cos(theta)
+            wi_l = jnp.stack([st * jnp.cos(phi), st * jnp.sin(phi), ct])
+            w_out = wi_l @ lt.l2w[li][:3, :3].T  # direction toward the env
+            pdf_dir = pdf_uv / jnp.maximum(2.0 * jnp.pi * jnp.pi * st, 1e-9)
+            H, W = lt.env_map.shape[0], lt.env_map.shape[1]
+            x = jnp.clip((u * W).astype(jnp.int32), 0, W - 1)
+            y = jnp.clip((v * H).astype(jnp.int32), 0, H - 1)
+            return -w_out, lt.env_map[y, x] * emit, pdf_dir
+
+        def const_dir():
+            d = smp.uniform_sample_sphere(u1, u2)
+            return d, emit, jnp.float32(smp.UNIFORM_SPHERE_PDF)
+
+        de, Le, pe = env_dir()
+        dc, Lc, pc = const_dir()
+        d = jnp.where(has_env, de, dc)
+        Le = jnp.where(has_env, Le, Lc)
+        pdf_dir = jnp.where(has_env, pe, pc)
+        v1, v2 = geom.coordinate_system(d)
+        d1, d2 = smp.concentric_sample_disk(u3, u4)
+        pdisk = wc + wr * (d1 * v1 + d2 * v2)
+        pdf = pdf_dir / (jnp.pi * wr * wr)
+        return pdisk - wr * d, d, d, Le, pdf
+
+    def e_projection():
+        # projection.cpp Sample_L(scene) samples a cone; a uniform sphere
+        # with the projection window zeroing Le is the same estimator with
+        # a wider support (unbiased; documented efficiency divergence)
+        d = smp.uniform_sample_sphere(u1, u2)
+        scale = _proj_gonio_scale(lt, li, d, True)
+        return (
+            lt.pos[li], d, d, scale * emit,
+            jnp.float32(smp.UNIFORM_SPHERE_PDF),
+        )
+
+    def e_gonio():
+        # goniometric.cpp Sample_L(scene): uniform sphere × Scale(w)
+        d = smp.uniform_sample_sphere(u1, u2)
+        scale = _proj_gonio_scale(lt, li, d, False)
+        return (
+            lt.pos[li], d, d, scale * emit,
+            jnp.float32(smp.UNIFORM_SPHERE_PDF),
+        )
+
+    all_branches = [
+        e_point, e_spot, e_distant, e_area, e_infinite, e_projection, e_gonio,
+    ]
+    branches = [all_branches[code] for code in lt.active_types]
+    if len(branches) == 1:
+        return branches[0]()
+    return jax.lax.switch(
+        jnp.clip(lt.dispatch[li], 0, len(branches) - 1), branches
+    )
+
+
+def _area_sample_point(lt: LightTable, g, li, u1, u2):
+    """Uniform-by-area point on an area light's shape → (p, n, pdf_area)
+    (reference: ShapeSet::Sample(ls, Ns), core/light.cpp:36-70)."""
+    is_sphere = lt.shape_kind[li] == 1
+
+    def sphere_case():
+        qi = lt.quad_idx[li]
+        o2w = g.quad_o2w[qi]
+        center = o2w[:3, 3]
+        radius = g.quad_params[qi, 0] * jnp.linalg.norm(o2w[:3, 0])
+        sp = smp.uniform_sample_sphere(u1, u2)
+        area = 4.0 * jnp.pi * radius * radius
+        return center + radius * sp, sp, 1.0 / jnp.maximum(area, 1e-12)
+
+    def mesh_case():
+        cnt = jnp.maximum(lt.tri_count[li], 1)
+        off = lt.cdf_offset[li]
+        idxs = jnp.arange(lt.tri_cdf.shape[0])
+        in_range = (idxs >= off) & (idxs < off + cnt)
+        below = jnp.sum(((lt.tri_cdf < u1) & in_range).astype(jnp.int32))
+        k = jnp.clip(below, 0, cnt - 1)
+        ti = lt.tri_start[li] + k
+        lower = jnp.where(k > 0, lt.tri_cdf[off + k - 1], 0.0)
+        upper = lt.tri_cdf[off + k]
+        u1r = jnp.clip(
+            (u1 - lower) / jnp.maximum(upper - lower, 1e-9), 0.0, 1.0
+        )
+        b0, b1 = smp.uniform_sample_triangle(u1r, u2)
+        p_l = g.tri_v0[ti] + b0 * g.tri_e1[ti] + b1 * g.tri_e2[ti]
+        n_l = geom.normalize(jnp.cross(g.tri_e1[ti], g.tri_e2[ti]))
+        return p_l, n_l, 1.0 / jnp.maximum(lt.total_area[li], 1e-12)
+
+    if g.num_quadrics == 0:
+        return mesh_case()
+    if g.num_triangles == 0:
+        return sphere_case()
+    ps, ns, pp = sphere_case()
+    pm, nm, pmm = mesh_case()
+    return (
+        jnp.where(is_sphere, ps, pm),
+        jnp.where(is_sphere, ns, nm),
+        jnp.where(is_sphere, pp, pmm),
+    )
+
+
+def sample_le(lt: LightTable, g, light_idx, u1, u2, u3, u4) -> EmissionSample:
+    """Batched emission sampling (reference: Light::Sample_L(scene, ...));
+    light_idx, u1..u4: (R,). Feeds VPL/photon light-path starts."""
+    p, d, n, Le, pdf = jax.vmap(
+        lambda li, a, b, c, e: _sample_le_one(lt, g, li, a, b, c, e)
+    )(light_idx, u1, u2, u3, u4)
+    return EmissionSample(p=p, d=d, n=n, Le=Le, pdf=pdf)
+
+
 def pdf_li(lt: LightTable, g, light_idx, p, wi):
     """Solid-angle pdf that sample_li would have for direction wi — needed
     for MIS on BSDF-sampled directions (reference: Light::Pdf)."""

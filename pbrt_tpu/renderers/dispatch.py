@@ -109,4 +109,12 @@ def write_outputs(built, state, outfile=None, suffix=""):
 
         rgb = film_mod.to_rgb_image(state, cfg)
         outputs.append(write_image(filename, rgb))
+    # Film "spectralImageNoCamera": also a grayscale depth EXR sidecar
+    # (reference: spectralImageNoCamera.cpp:388-390; its registration is
+    # commented out there — api.cpp:697,717 — registered here as the
+    # selectable variant)
+    if cfg.kind.lower() == "spectralimagenocamera":
+        outputs.append(
+            film_mod.write_depth_exr(state, cfg, base + "_depth.exr")
+        )
     return outputs

@@ -26,7 +26,11 @@ unidirectional path estimator.
 
 Divergences (documented): ``dodirectseparately``'s direct/indirect split is
 not reproduced — the full path estimator is mutated (same expectation,
-different variance profile).
+different variance profile). Splatting is nearest-pixel BY DESIGN: that is
+the reference film contract (Film::Splat Floor2Int's into one pixel with no
+filter, image.cpp:131-146; the fork's SpectralImageFilm::Splat body is the
+splatC self-add bug at spectralImage.cpp:171 — we implement the intended
+add-L semantics).
 """
 
 from __future__ import annotations
@@ -135,12 +139,24 @@ def render_metropolis(built, spp=None, seed=0, quick=False, verbose=True,
         u_new, is_large = _mutate(u, key_it, p_large)
         L_new, I_new, px_new, py_new = _eval_paths(built, u_new, chain_keys, bidir)
         a = jnp.clip(I_new / jnp.maximum(I, 1e-12), 0.0, 1.0)
-        # expected-value splatting (reference: metropolis.cpp:500-540):
+        # expected-value splatting (reference: metropolis.cpp:725-738):
         # candidate with weight a, current with weight 1-a; contributions
-        # are L/I (radiance normalized by scalar importance)
+        # are L/I (radiance normalized by scalar importance). Splats are
+        # NEAREST-PIXEL by the reference's own film contract —
+        # Film::Splat Floor2Int's the sample position into a single pixel
+        # with no filter (image.cpp:131-146); out-of-image splats are
+        # dropped, not clamped (SpectralImageFilm::Splat's literal body is
+        # the splatC+=splatC self-add bug at spectralImage.cpp:171; we
+        # implement the intended add-L semantics)
         def splat_into(s, px_, py_, L_, w_):
-            xi = jnp.clip(px_.astype(jnp.int32), 0, cfg.xres - 1)
-            yi = jnp.clip(py_.astype(jnp.int32), 0, cfg.yres - 1)
+            xi = jnp.floor(px_).astype(jnp.int32)
+            yi = jnp.floor(py_).astype(jnp.int32)
+            inside = (
+                (xi >= 0) & (xi < cfg.xres) & (yi >= 0) & (yi < cfg.yres)
+            )
+            w_ = jnp.where(inside, w_, 0.0)
+            xi = jnp.clip(xi, 0, cfg.xres - 1)
+            yi = jnp.clip(yi, 0, cfg.yres - 1)
             return s.at[yi, xi].add(w_[:, None] * L_)
 
         w_new = a / jnp.maximum(I_new, 1e-12)

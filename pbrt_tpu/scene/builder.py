@@ -508,6 +508,7 @@ def build(desc: SceneDescription) -> BuiltScene:
         filter=filt,
         crop=tuple(crop) if crop is not None else (0.0, 1.0, 0.0, 1.0),
         filename=film_params.find_one_string("filename", "pbrt.dat"),
+        kind=film_name,
     )
     cam_name, cam_params, cam2world_ts, times = desc.camera
     cam2world = AnimatedTransform.from_matrices(

@@ -37,11 +37,20 @@ MAX_NEST_DEPTH = 4
 
 #: mip pyramid depth cap (covers 8192² level-0 images)
 MAX_MIP_LEVELS = 14
-#: anisotropic filtering taps along the footprint's major axis
-#: (reference: mipmap.h:288-312 EWA; here a fixed-tap approximation —
-#: K trilinear probes spread over the major axis, which is the standard
-#: GPU-style anisotropic scheme and is branch-free on TPU)
-ANISO_TAPS = 4
+#: EWA probes along the footprint's major axis (reference: MIPMap::EWA,
+#: mipmap.h:288-372 — a data-dependent scan over the ellipse's texel bbox
+#: with Gaussian weightLut). The TPU design needs a static tap count, so
+#: the ellipse integral is evaluated Feline-style (McCormack et al. 2000):
+#: EWA_TAPS isotropic trilinear probes spaced along the major axis, each
+#: weighted by the same truncated Gaussian e^{-2r²}-e^{-2} the reference's
+#: weightLut tabulates (mipmap.h:186-192), with the minor axis setting the
+#: mip level and the reference's eccentricity clamp applied first
+#: (mipmap.h:296-302). Same filter family, fixed VPU cost per lane.
+EWA_TAPS = 8
+#: reference default (texture "float maxanisotropy" 8)
+MAX_ANISOTROPY = 8.0
+#: reference Gaussian falloff alpha (mipmap.h:189)
+EWA_ALPHA = 2.0
 
 
 @pytree_dataclass
@@ -235,27 +244,48 @@ def _image_lookup(tt: TextureTable, tid, u, v, uv_sigma=None, uv_major=None):
     ``uv_sigma``: (R,) isotropic footprint radius in uv units (minor axis);
     ``uv_major``: (R, 2) anisotropic major-axis vector in uv units. With no
     footprint info this is a level-0 bilinear lookup (magnification path).
-    Anisotropy = ANISO_TAPS trilinear probes along the major axis with the
-    level picked from the minor axis — fixed-cost EWA approximation
-    (reference: mipmap.h:288-312 EWA; divergence documented)."""
+
+    Anisotropy is true EWA at static cost (see EWA_TAPS note): reference
+    eccentricity clamp (mipmap.h:296-302), minor-axis mip level
+    (mipmap.h:312 ``lod = nLevels-1+Log2(minorLength)``), Gaussian
+    ``e^{-αr²}-e^{-α}`` probe weights along the major axis
+    (mipmap.h:186-192 weightLut), Σw normalization (mipmap.h:371)."""
     res = jnp.maximum(
         jnp.maximum(tt.img_w[tid], tt.img_h[tid]), 1
     ).astype(jnp.float32)
     if uv_sigma is None:
         return _bilinear_at_level(tt, tid, u, v, jnp.zeros_like(tid))
-    # level where the minor-axis footprint spans ~1 texel
-    width = jnp.maximum(uv_sigma, 1e-8)
-    level_f = jnp.maximum(jnp.log2(width * res), 0.0)
     if uv_major is None:
+        width = jnp.maximum(uv_sigma, 1e-8)
+        level_f = jnp.maximum(jnp.log2(width * res), 0.0)
         return _trilinear(tt, tid, u, v, level_f)
-    out = 0.0
-    for k in range(ANISO_TAPS):
-        s = (k + 0.5) / ANISO_TAPS - 0.5  # -.375 … +.375
-        out = out + _trilinear(
-            tt, tid, u + s * uv_major[..., 0], v + s * uv_major[..., 1],
-            level_f,
+    # --- EWA (Feline probes) ---
+    major_len = jnp.maximum(
+        jnp.sqrt(jnp.sum(uv_major * uv_major, axis=-1)), 1e-12
+    )
+    minor_len = jnp.maximum(uv_sigma, 1e-12)
+    # reference clamp: widen the minor axis so ecc <= maxAnisotropy
+    minor_len = jnp.maximum(minor_len, major_len / MAX_ANISOTROPY)
+    ecc = jnp.maximum(major_len / minor_len, 1.0)
+    level_f = jnp.maximum(jnp.log2(minor_len * res), 0.0)
+    # probes span the segment of length 2*(major-minor) centred on (u,v)
+    # so the extreme probes' minor-radius footprints just reach the
+    # ellipse ends; positions in units of the major-axis direction
+    half = (ecc - 1.0) / ecc  # (major-minor)/major, in [0, 1)
+    du = uv_major[..., 0]
+    dv = uv_major[..., 1]
+    acc = 0.0
+    wsum = 0.0
+    for k in range(EWA_TAPS):
+        f = ((k + 0.5) / EWA_TAPS - 0.5) * 2.0 * half  # in [-half, half]
+        # squared ellipse radius of this probe centre (r=1 at ellipse edge)
+        r2 = f * f
+        w = jnp.maximum(jnp.exp(-EWA_ALPHA * r2) - np.exp(-EWA_ALPHA), 0.0)
+        acc = acc + w[..., None] * _trilinear(
+            tt, tid, u + f * du, v + f * dv, level_f
         )
-    return out / ANISO_TAPS
+        wsum = wsum + w
+    return acc / jnp.maximum(wsum, 1e-12)[..., None]
 
 
 def _eval_base(tt: TextureTable, tid, si_uv, si_p, prev, uv_sigma=None,

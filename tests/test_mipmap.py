@@ -1,6 +1,7 @@
 """Mip-mapped texture filtering (reference: core/mipmap.h — Lanczos pow-2
-resample :59-140, trilinear :84, EWA :288-312; here ray-cone footprints +
-fixed-tap anisotropic probes)."""
+resample :59-140, trilinear :84, EWA :288-372; here ray-cone footprints +
+static-cost EWA: Gaussian-weighted Feline probes along the major axis with
+the reference's eccentricity clamp and minor-axis mip level)."""
 
 import numpy as np
 import jax.numpy as jnp
@@ -101,6 +102,33 @@ def test_aniso_taps_average_along_major_axis(tmp_path):
     # u-major taps cross stripes (→ gray)
     assert float(along_v[0, 0]) > 0.9
     assert 0.2 < float(along_u[0, 0]) < 0.8
+
+
+def test_ewa_beats_trilinear_at_grazing_angle(tmp_path):
+    """The EWA contract (reference: mipmap.h:288-372): a grazing footprint
+    whose major axis runs ALONG the stripes must keep the stripe contrast,
+    where an isotropic trilinear lookup at the same (conservative, major-
+    axis) width is forced to the blurred mip level → gray. Also checks the
+    eccentricity clamp: an extreme footprint is bounded by maxAnisotropy."""
+    img = np.zeros((32, 32, 3), np.float32)
+    img[:, ::2] = 1.0  # vertical stripes (constant along v)
+    tt, tid = _pyramid_table(tmp_path, img)
+    tids = jnp.full((1,), tid, jnp.int32)
+    u = jnp.full((1,), 0.5 + 1.0 / 64.0)  # center of a white stripe
+    v = jnp.full((1,), 0.5)
+    minor = jnp.full((1,), 1.0 / 64.0)
+    major_v = jnp.asarray([[0.0, 0.25]])  # grazing along the stripes
+    ewa = tex._image_lookup(tt, tids, u, v, uv_sigma=minor, uv_major=major_v)
+    tri = tex._image_lookup(tt, tids, u, v, uv_sigma=jnp.full((1,), 0.25))
+    assert float(ewa[0, 0]) > 0.85  # EWA keeps the white stripe sharp
+    assert abs(float(tri[0, 0]) - 0.5) < 0.1  # isotropic blurs to mean
+    # eccentricity clamp: a 64:1 footprint behaves like maxAniso:1 — the
+    # minor axis (hence the mip level) is widened, blurring across stripes
+    extreme = tex._image_lookup(
+        tt, tids, u, v, uv_sigma=jnp.full((1,), 1.0 / 2048.0),
+        uv_major=jnp.asarray([[0.5, 0.0]]),
+    )
+    assert 0.2 < float(extreme[0, 0]) < 0.8
 
 
 def test_textured_scene_footprint_end_to_end(tmp_path):
