@@ -14,8 +14,8 @@ import os
 import sys
 import time
 
-# Previous-round local baseline (camera paths/sec/chip, BENCH_r02.json), so
-# vs_baseline tracks round-over-round progress. r1: 3,006; r2: 202,556.
+# Previous-round local baseline (camera paths/sec/chip), so vs_baseline
+# tracks round-over-round progress. r1: 3,006; r2: 202,556; r3: 184,000.
 BASELINE_LOCAL = 202556.0
 
 KILLEROO = "/root/reference/scenes/killeroo-simple.pbrt"
@@ -33,7 +33,7 @@ def main():
     import jax.numpy as jnp
 
     from pbrt_tpu.film import film as film_mod
-    from pbrt_tpu.renderers.sampler import _render_wave_jit
+    from pbrt_tpu.renderers.sampler import _render_scan_jit
     from pbrt_tpu.core import rng as rngmod
     from pbrt_tpu.scene.api import load_scene
     from pbrt_tpu.scene.builder import build
@@ -62,25 +62,25 @@ def main():
     film_state = film_mod.init_film(cfg)
     n_chunks = max(1, (res * res) // chunk)
     chunk = res * res // n_chunks
+    xs_stack = jnp.asarray(xs.reshape(n_chunks, chunk))
+    ys_stack = jnp.asarray(ys.reshape(n_chunks, chunk))
+    mask = jnp.ones((n_chunks, chunk), jnp.float32)
 
-    def wave(state, s):
-        for c in range(n_chunks):
-            sl = slice(c * chunk, (c + 1) * chunk)
-            state = _render_wave_jit(
-                state, built.scene, built.camera, table,
-                jnp.asarray(xs[sl]), jnp.asarray(ys[sl]),
-                jnp.int32(s), root, built.integrator, built.sampler_name,
-                waves, cfg,
-            )
-        return state
+    def run(state, s0, n):
+        # whole multi-wave render in ONE dispatch (lax.scan over
+        # wave × chunk steps — amortizes the ~30 ms tunnel round-trip)
+        return _render_scan_jit(
+            state, built.scene, built.camera, table, xs_stack, ys_stack,
+            mask, jnp.int32(s0), root, built.integrator,
+            built.sampler_name, waves, cfg, n,
+        )
 
-    # warmup / compile
-    film_state = wave(film_state, 0)
-    jax.block_until_ready(film_state.pixels)
+    # warmup / compile (same static n_waves as the timed run)
+    film_state = run(film_state, 0, waves)
+    np.asarray(film_state.pixels[0, 0, 0])  # fetch-sync (axon: block_until_ready is async)
     t0 = time.perf_counter()
-    for s in range(1, waves + 1):
-        film_state = wave(film_state, s)
-    jax.block_until_ready(film_state.pixels)
+    film_state = run(film_state, waves, waves)
+    np.asarray(film_state.pixels[0, 0, 0])
     dt = time.perf_counter() - t0
 
     paths_per_sec = res * res * waves / dt

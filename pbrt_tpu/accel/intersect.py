@@ -109,6 +109,9 @@ class SceneGeometry:
     # tested densely per ray (Q is small in every pbrt scene).
     wide_rows: jnp.ndarray = None  # (M, 80) f32
     wide_motion: jnp.ndarray = None  # (M, 80) f32 shutter-end deltas
+    #: exact worst-case stack need of THIS wide tree (build-time computed,
+    #: wide.py _compute_max_stack) — sized so overflow cannot occur
+    wide_stack: int = static_field(default=48)
     #: per-triangle shading row (pack_geometry): one aligned gather feeds
     #: surface_interaction instead of 11 separate table gathers
     tri_shade_rows: jnp.ndarray = None  # (T, 32) f32
@@ -699,6 +702,227 @@ def _traverse_wide_one(g: SceneGeometry, o, d, tmin, tmax, any_hit: bool,
     return out[3], out[4], out[5], out[6]
 
 
+#: full-width traversal iterations before straggler compaction (the warm
+#: phase retires the ~95% of rays that finish in a handful of steps)
+WIDE_WARM = 10
+#: compacted straggler batch width (must divide nothing — just a static
+#: sub-batch size; lanes beyond the active count are harmless repeats)
+WIDE_COMPACT = 2048
+
+
+def _traverse_wide_batch(g: SceneGeometry, o, d, tmin, tmax, any_hit: bool,
+                         tw=None):
+    """Whole-wavefront 8-wide traversal — the batched rewrite of
+    ``_traverse_wide_one`` (same algorithm, same results), laid out for the
+    TPU's (8 sublane × 128 lane) registers:
+
+      - slot-major math: the 8 child slots live on the SUBLANE axis and the
+        R rays on the LANE axis, so every slab/Möller–Trumbore op runs at
+        full (8, R) vector width. The vmapped per-ray version put the 8
+        slots on the lane axis, padding every (R, 8) intermediate to
+        (R, 128) — a measured ~16× lane-occupancy waste per op
+        (scripts/trav_lab.py: 315 µs per 32k-lane step, stack ops and
+        8-wide math dominating).
+      - the traversal stack is one (W, R) i32 array (W on sublanes — no
+        lane padding) with W = the build-time EXACT worst-case need
+        (g.wide_stack), so overflow is impossible and no subtree is ever
+        dropped.
+      - step counts are wildly skewed (killeroo incoherent batch: mean 1.5
+        steps, p99 3, max 26 — scripts/trav_lab.py), so a single
+        full-width while_loop runs ~26 iterations with ~5% lane
+        utilization. Instead: WIDE_WARM full-width iterations retire the
+        fast ~95%, then the stragglers are compacted (jnp.nonzero) into
+        WIDE_COMPACT-lane sub-batches that loop to completion at 1/16th
+        the per-iteration cost — the wavefront analogue of the
+        reference's per-ray early loop exit (bvh.cpp:105-200).
+
+    o, d: (R, 3); tmin/tmax/tw: (R,). Returns (t, prim, b1, b2) each (R,).
+    """
+    rows = g.wide_rows
+    W = g.wide_stack
+    R = o.shape[0]
+
+    # quadrics first: their result seeds t_best so the tree prunes on it
+    if g.num_quadrics > 0:
+        f = jax.vmap(
+            lambda oo, dd, a, b: _quad_best(g, oo, dd, a, b)
+        )
+        qt, qp, qb1, qb2 = f(o, d, tmin, jnp.asarray(tmax, jnp.float32))
+    else:
+        qt = jnp.asarray(jnp.broadcast_to(tmax, (R,)), jnp.float32)
+        qp = jnp.full((R,), -1, jnp.int32)
+        qb1 = qb2 = jnp.zeros((R,), jnp.float32)
+
+    if g.num_triangles == 0 or rows is None:
+        return qt, qp, qb1, qb2
+
+    inv = _make_inv_dir(d)
+    consts0 = (
+        o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2],
+        inv[:, 0], inv[:, 1], inv[:, 2], jnp.asarray(tmin, jnp.float32),
+        (tw if (g.has_motion and tw is not None)
+         else jnp.zeros((R,), jnp.float32)),
+    )
+    init = (
+        jnp.zeros((R,), jnp.int32),          # cur (row 0 is a node row)
+        jnp.zeros((W, R), jnp.int32),        # stack, slot-major
+        jnp.zeros((R,), jnp.int32),          # n_stack
+        qt, qp, qb1, qb2,
+        jnp.ones((R,), bool),                # alive
+    )
+
+    def active_of(s):
+        alive, prim_best = s[7], s[4]
+        if any_hit:
+            alive = alive & (prim_best < 0)
+        return alive
+
+    def step(consts, s):
+        (ox, oy, oz, dx, dy, dz, ix, iy, iz, tmin_, tw_) = consts
+        cur, stack, n_stack, t_best, prim_best, b1b, b2b, alive = s
+        act = active_of(s)
+        is_node = cur >= 0
+        row_idx = jnp.where(is_node, cur, -cur - 1)
+        row = rows[row_idx]                  # (C, 80) — THE gather
+        if g.has_motion and tw is not None:
+            row = row + tw_[:, None] * g.wide_motion[row_idx]
+        rt = row.T                           # (80, C) slot-major relayout
+
+        # ---- node interpretation: slab-test 8 children, (8, R) wide ----
+        lox, hix = rt[0:8], rt[8:16]
+        loy, hiy = rt[16:24], rt[24:32]
+        loz, hiz = rt[32:40], rt[40:48]
+        t0x = (lox - ox) * ix
+        t1x = (hix - ox) * ix
+        t0y = (loy - oy) * iy
+        t1y = (hiy - oy) * iy
+        t0z = (loz - oz) * iz
+        t1z = (hiz - oz) * iz
+        tn = jnp.maximum(
+            jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
+            jnp.minimum(t0z, t1z),
+        )
+        tf = jnp.minimum(
+            jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
+            jnp.maximum(t0z, t1z),
+        )
+        enter = jnp.maximum(tn, tmin_)
+        exit_ = jnp.minimum(tf, t_best)
+        valid8 = lox <= hix  # empty slots carry inverted boxes
+        hit8 = (enter <= exit_) & valid8 & is_node & act
+        refs = rt[48:56].astype(jnp.int32)   # (8, C), exact |ref| < 2^24
+
+        # sort (entry, ref) ascending so the nearest child is visited first
+        key = [jnp.where(hit8[k], enter[k], jnp.inf) for k in range(8)]
+        refs_l = [refs[k] for k in range(8)]
+        for i, j in _SORT8:
+            swap = key[i] > key[j]
+            ki, kj = key[i], key[j]
+            ri, rj = refs_l[i], refs_l[j]
+            key[i] = jnp.where(swap, kj, ki)
+            key[j] = jnp.where(swap, ki, kj)
+            refs_l[i] = jnp.where(swap, rj, ri)
+            refs_l[j] = jnp.where(swap, ri, rj)
+        n_hit = jnp.sum(hit8.astype(jnp.int32), axis=0)  # (R,)
+
+        # ---- leaf interpretation: 8 Möller–Trumbore tests, (8, R) ----
+        is_leaf = ~is_node
+        v0x, v0y, v0z = rt[0:8], rt[8:16], rt[16:24]
+        e1x, e1y, e1z = rt[24:32], rt[32:40], rt[40:48]
+        e2x, e2y, e2z = rt[48:56], rt[56:64], rt[64:72]
+        pid = rt[72:80].astype(jnp.int32)
+        pvx = dy * e2z - dz * e2y
+        pvy = dz * e2x - dx * e2z
+        pvz = dx * e2y - dy * e2x
+        det = e1x * pvx + e1y * pvy + e1z * pvz
+        inv_det = jnp.where(jnp.abs(det) < 1e-12, 0.0, 1.0 / det)
+        tvx, tvy, tvz = ox - v0x, oy - v0y, oz - v0z
+        b1 = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
+        qvx = tvy * e1z - tvz * e1y
+        qvy = tvz * e1x - tvx * e1z
+        qvz = tvx * e1y - tvy * e1x
+        b2 = (dx * qvx + dy * qvy + dz * qvz) * inv_det
+        t = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
+        ok8 = (
+            is_leaf & act & (pid >= 0)
+            & (jnp.abs(det) >= 1e-12)
+            & (b1 >= 0.0) & (b2 >= 0.0) & (b1 + b2 <= 1.0)
+            & (t > tmin_) & (t < t_best)
+        )
+        tcand = jnp.where(ok8, t, jnp.inf)
+        jbest = jnp.argmin(tcand, axis=0)    # (C,)
+        sel = (
+            jax.lax.broadcasted_iota(jnp.int32, (8, cur.shape[0]), 0)
+            == jbest[None, :]
+        )
+        tsel = jnp.min(tcand, axis=0)
+        any_ok = tsel < t_best
+        t_best = jnp.where(any_ok, tsel, t_best)
+        prim_best = jnp.where(
+            any_ok, jnp.sum(jnp.where(sel, pid, 0), axis=0), prim_best
+        )
+        b1b = jnp.where(any_ok, jnp.sum(jnp.where(sel, b1, 0.0), axis=0), b1b)
+        b2b = jnp.where(any_ok, jnp.sum(jnp.where(sel, b2, 0.0), axis=0), b2b)
+
+        # ---- control: descend to nearest child, push the rest ----
+        descend = is_node & (n_hit > 0)
+        pc = jnp.where(descend, n_hit - 1, 0)  # (R,) children to push
+        cands = refs_l[1:8]                    # 7 sorted candidates
+        stack_new = stack
+        for k in range(1, 8):
+            variant = jnp.concatenate(
+                [jnp.stack(cands[:k]), stack[: W - k]], axis=0
+            )
+            stack_new = jnp.where(pc == k, variant, stack_new)
+        stack = stack_new
+        n_stack = jnp.minimum(n_stack + pc, W)
+
+        pop = act & ~descend
+        cur = jnp.where(descend, refs_l[0], stack[0])
+        stack_pop = jnp.concatenate(
+            [stack[1:], jnp.zeros((1, cur.shape[0]), jnp.int32)], axis=0
+        )
+        stack = jnp.where(pop, stack_pop, stack)
+        alive = alive & ~(pop & (n_stack == 0))
+        n_stack = jnp.maximum(n_stack - pop.astype(jnp.int32), 0)
+        return (cur, stack, n_stack, t_best, prim_best, b1b, b2b, alive)
+
+    # ---- phase 1: fixed full-width warm iterations ----------------------
+    state = jax.lax.fori_loop(
+        0, WIDE_WARM, lambda _, s: step(consts0, s), init
+    )
+
+    # ---- phase 2: straggler compaction loop -----------------------------
+    C = min(WIDE_COMPACT, R)
+
+    def outer_cond(s):
+        return jnp.any(active_of(s))
+
+    def outer_body(s):
+        act = active_of(s)
+        # padding uses the OUT-OF-BOUNDS index R: gathers clamp (harmless
+        # duplicate compute of lane R-1, whose scattered write is then
+        # shadowed only by itself), scatters DROP — so no duplicate-index
+        # write races with a genuine lane update
+        (sel,) = jnp.nonzero(act, size=C, fill_value=R)
+        sub = tuple(a[:, sel] if a.ndim == 2 else a[sel] for a in s)
+        subc = tuple(c[sel] for c in consts0)
+
+        def sub_cond(ss):
+            return jnp.any(active_of(ss))
+
+        sub = jax.lax.while_loop(
+            sub_cond, lambda ss: step(subc, ss), sub
+        )
+        return tuple(
+            a.at[:, sel].set(b) if a.ndim == 2 else a.at[sel].set(b)
+            for a, b in zip(s, sub)
+        )
+
+    state = jax.lax.while_loop(outer_cond, outer_body, state)
+    return state[3], state[4], state[5], state[6]
+
+
 #: leaf/voxel primitive tests run in statically-unrolled chunks of this size
 #: inside an inner while_loop (bounds leaf sizes without a build-time cap)
 CHUNK = 4
@@ -914,8 +1138,16 @@ def intersect(g: SceneGeometry, ray: geom.Ray, any_hit: bool = False) -> Hit:
             b2=jnp.zeros((R,), jnp.float32),
         )
     if g.accel_kind == "bvh" and g.wide_rows is not None:
-        traverse = _traverse_wide_one
-    elif g.accel_kind == "bvh" and g.num_triangles == 0:
+        # batched fast path (no vmap): slot-major (8, R) math + (W, R) stack
+        if g.has_motion:
+            tw = motion_weight(g, ray.time)
+        else:
+            tw = None
+        t, prim, b1, b2 = _traverse_wide_batch(
+            g, ray.origin, ray.direction, ray.tmin, ray.tmax, any_hit, tw
+        )
+        return Hit(t=t, prim=prim, b1=b1, b2=b2)
+    if g.accel_kind == "bvh" and g.num_triangles == 0:
         # pure-quadric scene: dense quadric pass only
         traverse = lambda g_, o, d, t0, t1, ah, tw=None: _quad_best(
             g_, o, d, t0, t1

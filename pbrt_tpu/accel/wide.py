@@ -46,6 +46,45 @@ LEAF_TRIS = 8
 class WideBVH:
     rows: np.ndarray            # (M, 80) f32 unified node/leaf table
     motion_rows: np.ndarray | None  # (M, 80) shutter-end deltas (leaf rows only)
+    #: exact worst-case traversal stack need of THIS tree: ordered descent
+    #: pushes ≤ children-1 entries per node, so the bound is
+    #: max over root→node paths of Σ (n_children−1). Sizing the register
+    #: to this makes overflow impossible (no dropped far subtrees).
+    max_stack: int = 8
+
+
+def _compute_max_stack(rows: np.ndarray) -> int:
+    """f(node) = (n_children−1) + max_k f(child_k); f(leaf) = 0."""
+    import sys
+
+    memo: dict[int, int] = {}
+    # iterative DFS (trees can exceed the recursion limit)
+    order: list[int] = []
+    seen = set()
+    st = [0]
+    while st:
+        n = st.pop()
+        if n in seen:
+            continue
+        seen.add(n)
+        order.append(n)
+        refs = rows[n, 48:56].astype(np.int64)
+        valid = rows[n, 0:8] <= rows[n, 8:16]
+        for j in range(8):
+            if valid[j] and refs[j] >= 0:
+                st.append(int(refs[j]))
+    for n in reversed(order):
+        refs = rows[n, 48:56].astype(np.int64)
+        valid = rows[n, 0:8] <= rows[n, 8:16]
+        kids = [int(r) for r, v in zip(refs, valid) if v]
+        if not kids:
+            memo[n] = 0
+            continue
+        best = 0
+        for r in kids:
+            best = max(best, memo.get(r, 0) if r >= 0 else 0)
+        memo[n] = (len(kids) - 1) + best
+    return max(memo.get(0, 0), 1)
 
 
 def build_wide_bvh(
@@ -192,4 +231,7 @@ def build_wide_bvh(
     out = np.stack(rows).astype(np.float32)
     mout = np.stack(motion).astype(np.float32) if has_motion else None
     assert out.shape[0] < (1 << 24), "row index exceeds exact-f32 range"
-    return WideBVH(rows=out, motion_rows=mout)
+    need = _compute_max_stack(out)
+    # round up to a sublane multiple; floor of 8
+    need = max(8, ((need + 7) // 8) * 8)
+    return WideBVH(rows=out, motion_rows=mout, max_stack=need)

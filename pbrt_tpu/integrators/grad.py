@@ -45,12 +45,26 @@ def radiance_loss(
     return loss_fn(L)
 
 
+def replace_material_spectra(materials, **fields):
+    """Update spectral params AND rebuild the packed hot row the shading
+    path actually gathers from (materials/table.py pack_materials) — a bare
+    ``dataclasses.replace`` leaves the stale packed copy in effect and
+    silently severs gradient flow."""
+    from pbrt_tpu.materials.table import pack_materials
+
+    return pack_materials(
+        dataclasses.replace(materials, packed=None, **fields)
+    )
+
+
 def grad_wrt_materials(scene: RenderScene, rays, keys, cfg, loss_fn=None):
     """∂loss/∂(kd, ks, kr, kt) of the material table. Returns a dict of
     arrays shaped like the material table's spectral params."""
 
     def f(kd, ks, kr, kt):
-        mats = dataclasses.replace(scene.materials, kd=kd, ks=ks, kr=kr, kt=kt)
+        mats = replace_material_spectra(
+            scene.materials, kd=kd, ks=ks, kr=kr, kt=kt
+        )
         s = dataclasses.replace(scene, materials=mats)
         return radiance_loss(s, rays, keys, cfg, loss_fn)
 
@@ -76,7 +90,7 @@ def value_and_grads(scene: RenderScene, rays, keys, cfg, loss_fn=None):
     """(loss, {material grads, emission grad}) in one backward pass."""
 
     def f(kd, emit):
-        mats = dataclasses.replace(scene.materials, kd=kd)
+        mats = replace_material_spectra(scene.materials, kd=kd)
         lights = dataclasses.replace(scene.lights, emit=emit)
         s = dataclasses.replace(scene, materials=mats, lights=lights)
         return radiance_loss(s, rays, keys, cfg, loss_fn)

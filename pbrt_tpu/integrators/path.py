@@ -75,6 +75,12 @@ class IntegratorConfig:
     volume_kind: str = "emission"  # emission | single | none
     n_bins: int = 32
     prt_nsamples: int = 32  # per-hit transfer/BSDF samples (diffuse/glossyprt)
+    # irradiance-cache knobs (reference: irradiancecache.cpp:377-383)
+    ic_minweight: float = 0.5
+    ic_minspacing: float = 2.5  # in pixel-spacing units
+    ic_maxspacing: float = 15.0
+    ic_maxangle: float = 10.0  # degrees
+    ic_stride: int = 8  # cache-point subsampling along the wavefront
 
 
 class KeySource:

@@ -186,6 +186,48 @@ def _render_wave_jit(
     )
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("icfg", "sampler_name", "spp", "film_cfg", "n_waves"),
+)
+def _render_scan_jit(
+    film_state, scene, camera, filter_table,
+    xs_stack,  # (C, chunk) i32 pixel x per chunk
+    ys_stack,  # (C, chunk)
+    mask_stack,  # (C, chunk) f32 1 for live lanes, 0 for padding
+    sample_base,  # scalar i32 first sample index
+    root_key, icfg, sampler_name, spp, film_cfg, n_waves,
+):
+    """``n_waves`` sample waves × all pixel chunks in ONE dispatch.
+
+    The reference's tile-task queue amortizes thread overhead; the TPU
+    analogue is amortizing the host→device dispatch round-trip (tens of ms
+    through the remote tunnel): a lax.scan over (wave, chunk) steps keeps
+    the whole sample loop on device while the per-step footprint stays at
+    one chunk. Padded tail lanes carry weight 0 (masked, not halved)."""
+
+    def chunk_step(state, inputs):
+        cx, cy, m, s = inputs
+        state = render_wave(
+            state, scene, camera, filter_table, cx, cy, s,
+            root_key, icfg, sampler_name, spp, film_cfg,
+            sample_scale=m,
+        )
+        return state, None
+
+    C = xs_stack.shape[0]
+    xs_rep = jnp.tile(xs_stack, (n_waves, 1))
+    ys_rep = jnp.tile(ys_stack, (n_waves, 1))
+    mask_rep = jnp.tile(mask_stack, (n_waves, 1))
+    s_rep = sample_base + jnp.repeat(
+        jnp.arange(n_waves, dtype=jnp.int32), C
+    )
+    state, _ = jax.lax.scan(
+        chunk_step, film_state, (xs_rep, ys_rep, mask_rep, s_rep)
+    )
+    return state
+
+
 def render(built, spp=None, seed: int = 0, chunk_pixels: int | None = None,
            verbose: bool = True, quick: bool = False,
            checkpoint_path: str | None = None, checkpoint_every: int = 8):
@@ -239,29 +281,37 @@ def render(built, spp=None, seed: int = 0, chunk_pixels: int | None = None,
             n_chunks, verbose, quick, t_start,
         )
 
-    for s in range(start_sample, spp):
-        for c in range(n_chunks):
-            cx = jnp.asarray(all_x[c * chunk : (c + 1) * chunk])
-            cy = jnp.asarray(all_y[c * chunk : (c + 1) * chunk])
-            is_last = c == n_chunks - 1
-            if pad and is_last:
-                # render only the valid prefix with a second static shape
-                cx = jnp.asarray(all_x[c * chunk : c * chunk + (chunk - pad)])
-                cy = jnp.asarray(all_y[c * chunk : c * chunk + (chunk - pad)])
-            film_state = _render_wave_jit(
-                film_state, built.scene, built.camera, table, cx, cy,
-                jnp.int32(s), root, icfg, built.sampler_name, spp, cfg,
-            )
+    # all chunks stacked once; padded tail lanes are weight-masked so every
+    # chunk shares one static shape (single compiled program)
+    xs_stack = jnp.asarray(all_x.reshape(n_chunks, chunk))
+    ys_stack = jnp.asarray(all_y.reshape(n_chunks, chunk))
+    mask = np.ones((n_chunks, chunk), np.float32)
+    if pad:
+        mask[-1, chunk - pad :] = 0.0
+    mask_stack = jnp.asarray(mask)
+    # group waves per dispatch: amortizes the host→device round-trip;
+    # bounded by the checkpoint interval so resume granularity survives
+    group = checkpoint_every if checkpoint_path else max(1, spp)
+    s = start_sample
+    while s < spp:
+        n_waves = min(group, spp - s)
+        film_state = _render_scan_jit(
+            film_state, built.scene, built.camera, table,
+            xs_stack, ys_stack, mask_stack, jnp.int32(s), root,
+            icfg, built.sampler_name, spp, cfg, n_waves,
+        )
+        s += n_waves
         if verbose:
+            jax.block_until_ready(film_state.pixels)
             el = time.time() - t_start
-            done = (s + 1) / spp
-            print(f"\r[pbrt_tpu] sample {s+1}/{spp} ({el:5.1f}s, "
+            done = s / spp
+            print(f"\r[pbrt_tpu] sample {s}/{spp} ({el:5.1f}s, "
                   f"eta {el/done*(1-done):5.1f}s)", end="", flush=True)
-        if checkpoint_path and ((s + 1) % checkpoint_every == 0 or s + 1 == spp):
+        if checkpoint_path and (s % checkpoint_every == 0 or s == spp):
             from pbrt_tpu.film.checkpoint import save_checkpoint
 
             jax.block_until_ready(film_state.pixels)
-            save_checkpoint(checkpoint_path, film_state, s + 1, seed)
+            save_checkpoint(checkpoint_path, film_state, s, seed)
     jax.block_until_ready(film_state.pixels)
     if verbose:
         print(f"\n[pbrt_tpu] render done in {time.time()-t_start:.2f}s")

@@ -438,6 +438,7 @@ def build(desc: SceneDescription) -> BuiltScene:
             if wide is not None and wide.motion_rows is not None
             else None
         ),
+        wide_stack=wide.max_stack if wide is not None else 8,
         **accel_extra,
     )
     geometry = pack_geometry(geometry)
@@ -565,6 +566,11 @@ def build(desc: SceneDescription) -> BuiltScene:
         # budget this size is capped (quality knob, documented divergence)
         prt_nsamples=min(integ_params.find_one_int("nsamples", 4096), 64)
         if integ_name in ("diffuseprt", "glossyprt") else 32,
+        # irradiance-cache parameters (reference: irradiancecache.cpp:377-383)
+        ic_minweight=integ_params.find_one_float("minweight", 0.5),
+        ic_minspacing=integ_params.find_one_float("minpixelspacing", 2.5),
+        ic_maxspacing=integ_params.find_one_float("maxpixelspacing", 15.0),
+        ic_maxangle=integ_params.find_one_float("maxangledifference", 10.0),
     )
 
     # PRT preprocess: SH-project incident radiance at the scene center

@@ -48,7 +48,8 @@ def test_kd_gradient_matches_finite_difference():
     cfg = built.integrator
 
     def loss_of_kd(kd):
-        mats = dataclasses.replace(scene.materials, kd=kd)
+        # must rebuild the packed hot row, or the stale copy is gathered
+        mats = grad_mod.replace_material_spectra(scene.materials, kd=kd)
         s = dataclasses.replace(scene, materials=mats)
         L, _ = trace_radiance(s, rays, keys, cfg)
         return L.mean()

@@ -59,11 +59,18 @@ def test_furnace_closed_env():
         WorldEnd
         """
     )
-    # flat unit spectra → every wavelength bin of every pixel must be ≈ 1
+    # energy conservation: every bin of every pixel must equal the bin the
+    # light actually emits. NOTE the emitted spectrum is NOT flat 1.0: the
+    # reference pushes even a constant infinite-light L through an RGB
+    # roundtrip (texels[0] = L.ToRGBSpectrum(), infinite.cpp:70-76, read
+    # back as an ILLUMINANT spectrum), so a flat SPD becomes the white
+    # illuminant metamer (~0.88-0.94 per bin) — matched by our builder.
     spect = np.asarray(state.pixels) / np.maximum(
         np.asarray(state.weight)[..., None], 1e-9
     )
-    np.testing.assert_allclose(spect.mean(axis=(0, 1)), 1.0, atol=0.05)
+    emitted = np.asarray(built.scene.lights.emit)[0]
+    assert 0.8 < emitted.mean() < 1.0  # the illuminant metamer, not 1.0
+    np.testing.assert_allclose(spect.mean(axis=(0, 1)), emitted, rtol=0.06)
     assert spect.std() < 0.15
 
 
