@@ -112,6 +112,23 @@ class SceneGeometry:
     #: exact worst-case stack need of THIS wide tree (build-time computed,
     #: wide.py _compute_max_stack) — sized so overflow cannot occur
     wide_stack: int = static_field(default=48)
+    #: static set of quadric type codes present — the 6-way type switch
+    #: compiles only these branches (same mechanism as the light table's
+    #: active_types)
+    quad_active_types: tuple = static_field(default=(0, 1, 2, 3, 4, 5))
+    # --- memory-shared instancing (reference: TransformedPrimitive,
+    # primitive.h:89): per-object BLAS wide tables concatenated into
+    # inst_rows; one instance-table row per static ObjectInstance use.
+    # Object-space triangles live at [num_world_tris, T) of the tri tables
+    # (their normals/tangents rotate by the hit instance's transform).
+    inst_rows: jnp.ndarray = None  # (Mi, 80) f32 concatenated BLAS tables
+    inst_o2w: jnp.ndarray = None  # (I, 4, 4)
+    inst_w2o: jnp.ndarray = None  # (I, 4, 4)
+    inst_root: jnp.ndarray = None  # (I,) i32 BLAS root row
+    inst_lo: jnp.ndarray = None  # (I, 3) world-space instance bounds
+    inst_hi: jnp.ndarray = None  # (I, 3)
+    inst_mesh_id: jnp.ndarray = None  # (I,) fresh primitive id per use
+    inst_stack: int = static_field(default=8)  # max BLAS stack need
     #: per-triangle shading row (pack_geometry): one aligned gather feeds
     #: surface_interaction instead of 11 separate table gathers
     tri_shade_rows: jnp.ndarray = None  # (T, 32) f32
@@ -181,6 +198,9 @@ class Hit(NamedTuple):
     prim: jnp.ndarray  # (R,) global prim id, -1 = miss
     b1: jnp.ndarray  # (R,) triangle barycentric / quadric u
     b2: jnp.ndarray  # (R,) triangle barycentric / quadric v
+    #: instance-table row of the hit (-1 = not instanced); None when the
+    #: scene has no TLAS instances
+    inst: jnp.ndarray = None
 
     @property
     def valid(self):
@@ -348,10 +368,17 @@ def _quad_test(g: SceneGeometry, q, o_w, d_w, tmin, tmax):
 
         return pick(ok, t0, t1, valid)
 
-    hit, t = jax.lax.switch(
-        jnp.clip(typ, 0, 5),
-        [sphere, cylinder, disk, cone, paraboloid, hyperboloid],
-    )
+    all_branches = [sphere, cylinder, disk, cone, paraboloid, hyperboloid]
+    active = tuple(getattr(g, "quad_active_types", (0, 1, 2, 3, 4, 5)))
+    if len(active) == 1:
+        hit, t = all_branches[active[0]]()
+    else:
+        branches = [all_branches[c] for c in active]
+        # compact dispatch index: position of typ within the active set
+        disp = jnp.zeros_like(typ)
+        for k, c in enumerate(active):
+            disp = jnp.where(typ == c, k, disp)
+        hit, t = jax.lax.switch(jnp.clip(disp, 0, len(branches) - 1), branches)
     # parametric coords for shading
     p = o + t * d
     u = phi_of(p) / jnp.maximum(phimax, 1e-9)
@@ -702,12 +729,18 @@ def _traverse_wide_one(g: SceneGeometry, o, d, tmin, tmax, any_hit: bool,
     return out[3], out[4], out[5], out[6]
 
 
+import os as _os
+
 #: full-width traversal iterations before straggler compaction (the warm
 #: phase retires the ~95% of rays that finish in a handful of steps)
-WIDE_WARM = 10
+WIDE_WARM = int(_os.environ.get("PBRT_TPU_WIDE_WARM", "10"))
 #: compacted straggler batch width (must divide nothing — just a static
 #: sub-batch size; lanes beyond the active count are harmless repeats)
-WIDE_COMPACT = 2048
+WIDE_COMPACT = int(_os.environ.get("PBRT_TPU_WIDE_COMPACT", "2048"))
+#: warm-phase stack width: every push/pop streams the whole (Ws, R)
+#: register, so a narrow warm stack is ~W/Ws cheaper per iteration; lanes
+#: that would overflow freeze and finish in the full-width straggler phase
+WIDE_WARM_STACK = int(_os.environ.get("PBRT_TPU_WIDE_WARM_STACK", "16"))
 
 
 def _traverse_wide_batch(g: SceneGeometry, o, d, tmin, tmax, any_hit: bool,
@@ -753,8 +786,8 @@ def _traverse_wide_batch(g: SceneGeometry, o, d, tmin, tmax, any_hit: bool,
         qp = jnp.full((R,), -1, jnp.int32)
         qb1 = qb2 = jnp.zeros((R,), jnp.float32)
 
-    if g.num_triangles == 0 or rows is None:
-        return qt, qp, qb1, qb2
+    if (g.num_triangles == 0 or rows is None) and g.inst_rows is None:
+        return qt, qp, qb1, qb2, None
 
     inv = _make_inv_dir(d)
     consts0 = (
@@ -763,9 +796,13 @@ def _traverse_wide_batch(g: SceneGeometry, o, d, tmin, tmax, any_hit: bool,
         (tw if (g.has_motion and tw is not None)
          else jnp.zeros((R,), jnp.float32)),
     )
+    # warm phase carries a NARROW stack (the per-iteration concatenates
+    # stream the whole (Ws, R) register; lanes needing more than Ws
+    # entries freeze and resume at full width in the compaction phase)
+    W1 = min(W, WIDE_WARM_STACK)
     init = (
         jnp.zeros((R,), jnp.int32),          # cur (row 0 is a node row)
-        jnp.zeros((W, R), jnp.int32),        # stack, slot-major
+        jnp.zeros((W1, R), jnp.int32),       # stack, slot-major
         jnp.zeros((R,), jnp.int32),          # n_stack
         qt, qp, qb1, qb2,
         jnp.ones((R,), bool),                # alive
@@ -777,14 +814,21 @@ def _traverse_wide_batch(g: SceneGeometry, o, d, tmin, tmax, any_hit: bool,
             alive = alive & (prim_best < 0)
         return alive
 
-    def step(consts, s):
+    def step(consts, s, freeze_overflow=False, rows_tab=None, motion=True):
         (ox, oy, oz, dx, dy, dz, ix, iy, iz, tmin_, tw_) = consts
+        tab = rows if rows_tab is None else rows_tab
         cur, stack, n_stack, t_best, prim_best, b1b, b2b, alive = s
+        Ws = stack.shape[0]
         act = active_of(s)
+        if freeze_overflow:
+            # warm phase runs a NARROW stack; lanes that might need more
+            # than Ws entries freeze here and resume in the compaction
+            # phase, which carries the full exact-bound width
+            act = act & (n_stack <= Ws - 7)
         is_node = cur >= 0
         row_idx = jnp.where(is_node, cur, -cur - 1)
-        row = rows[row_idx]                  # (C, 80) — THE gather
-        if g.has_motion and tw is not None:
+        row = tab[row_idx]                   # (C, 80) — THE gather
+        if motion and g.has_motion and tw is not None:
             row = row + tw_[:, None] * g.wide_motion[row_idx]
         rt = row.T                           # (80, C) slot-major relayout
 
@@ -871,14 +915,18 @@ def _traverse_wide_batch(g: SceneGeometry, o, d, tmin, tmax, any_hit: bool,
         stack_new = stack
         for k in range(1, 8):
             variant = jnp.concatenate(
-                [jnp.stack(cands[:k]), stack[: W - k]], axis=0
+                [jnp.stack(cands[:k]), stack[: Ws - k]], axis=0
             )
             stack_new = jnp.where(pc == k, variant, stack_new)
         stack = stack_new
-        n_stack = jnp.minimum(n_stack + pc, W)
+        n_stack = jnp.minimum(n_stack + pc, Ws)
 
         pop = act & ~descend
-        cur = jnp.where(descend, refs_l[0], stack[0])
+        # inactive/frozen lanes must keep their pending node: overwriting
+        # cur with stack[0] without popping would drop it
+        cur = jnp.where(
+            act, jnp.where(descend, refs_l[0], stack[0]), cur
+        )
         stack_pop = jnp.concatenate(
             [stack[1:], jnp.zeros((1, cur.shape[0]), jnp.int32)], axis=0
         )
@@ -887,40 +935,106 @@ def _traverse_wide_batch(g: SceneGeometry, o, d, tmin, tmax, any_hit: bool,
         n_stack = jnp.maximum(n_stack - pop.astype(jnp.int32), 0)
         return (cur, stack, n_stack, t_best, prim_best, b1b, b2b, alive)
 
-    # ---- phase 1: fixed full-width warm iterations ----------------------
-    state = jax.lax.fori_loop(
-        0, WIDE_WARM, lambda _, s: step(consts0, s), init
-    )
+    if rows is not None and g.num_triangles > 0:
+        # ---- phase 1: fixed full-width warm iterations ------------------
+        state = jax.lax.fori_loop(
+            0, WIDE_WARM,
+            lambda _, s: step(consts0, s, freeze_overflow=W1 < W),
+            init,
+        )
+        if W1 < W:
+            # widen to the exact bound for the straggler phase
+            state = (
+                state[0],
+                jnp.concatenate(
+                    [state[1], jnp.zeros((W - W1, R), jnp.int32)], axis=0
+                ),
+            ) + state[2:]
 
-    # ---- phase 2: straggler compaction loop -----------------------------
-    C = min(WIDE_COMPACT, R)
+        # ---- phase 2: straggler compaction loop -------------------------
+        C = min(WIDE_COMPACT, R)
 
-    def outer_cond(s):
-        return jnp.any(active_of(s))
+        def outer_cond(s):
+            return jnp.any(active_of(s))
 
-    def outer_body(s):
-        act = active_of(s)
-        # padding uses the OUT-OF-BOUNDS index R: gathers clamp (harmless
-        # duplicate compute of lane R-1, whose scattered write is then
-        # shadowed only by itself), scatters DROP — so no duplicate-index
-        # write races with a genuine lane update
-        (sel,) = jnp.nonzero(act, size=C, fill_value=R)
-        sub = tuple(a[:, sel] if a.ndim == 2 else a[sel] for a in s)
-        subc = tuple(c[sel] for c in consts0)
+        def outer_body(s):
+            act = active_of(s)
+            # padding uses the OUT-OF-BOUNDS index R: gathers clamp
+            # (harmless duplicate compute of lane R-1, whose scattered
+            # write is then shadowed only by itself), scatters DROP — so
+            # no duplicate-index write races with a genuine lane update
+            (sel,) = jnp.nonzero(act, size=C, fill_value=R)
+            sub = tuple(a[:, sel] if a.ndim == 2 else a[sel] for a in s)
+            subc = tuple(c[sel] for c in consts0)
 
-        def sub_cond(ss):
-            return jnp.any(active_of(ss))
+            def sub_cond(ss):
+                return jnp.any(active_of(ss))
 
+            sub = jax.lax.while_loop(
+                sub_cond, lambda ss: step(subc, ss), sub
+            )
+            return tuple(
+                a.at[:, sel].set(b) if a.ndim == 2 else a.at[sel].set(b)
+                for a, b in zip(s, sub)
+            )
+
+        state = jax.lax.while_loop(outer_cond, outer_body, state)
+    else:
+        state = init
+    t_best, prim_best, b1b, b2b = state[3], state[4], state[5], state[6]
+
+    # ---- phase 3: instances (TLAS) --------------------------------------
+    # (reference: TransformedPrimitive::Intersect, primitive.cpp — ray is
+    # transformed into instance space and handed to the shared BLAS; t is
+    # invariant because the object-space direction stays unnormalized)
+    if g.inst_rows is None:
+        return t_best, prim_best, b1b, b2b, None
+
+    I = g.inst_root.shape[0]
+    W2 = max(8, g.inst_stack)
+    tmin_f = jnp.asarray(tmin, jnp.float32)
+    inst_best = jnp.full((R,), -1, jnp.int32)
+
+    def inst_body(i, st):
+        t_b, p_b, b1_, b2_, in_b = st
+        m = g.inst_w2o[i]
+        o2 = o @ m[:3, :3].T + m[:3, 3]
+        d2 = d @ m[:3, :3].T
+        inv2 = _make_inv_dir(d2)
+        # world-space AABB prune against the current best hit
+        t0 = (g.inst_lo[i][None, :] - o) * inv
+        t1 = (g.inst_hi[i][None, :] - o) * inv
+        tn = jnp.max(jnp.minimum(t0, t1), axis=1)
+        tf = jnp.min(jnp.maximum(t0, t1), axis=1)
+        pre = jnp.maximum(tn, tmin_f) <= jnp.minimum(tf, t_b)
+        if any_hit:
+            pre = pre & (p_b < 0)
+        consts_i = (
+            o2[:, 0], o2[:, 1], o2[:, 2], d2[:, 0], d2[:, 1], d2[:, 2],
+            inv2[:, 0], inv2[:, 1], inv2[:, 2], tmin_f,
+            jnp.zeros((R,), jnp.float32),
+        )
+        sub = (
+            jnp.broadcast_to(g.inst_root[i], (R,)).astype(jnp.int32),
+            jnp.zeros((W2, R), jnp.int32),
+            jnp.zeros((R,), jnp.int32),
+            t_b, p_b, b1_, b2_, pre,
+        )
         sub = jax.lax.while_loop(
-            sub_cond, lambda ss: step(subc, ss), sub
+            lambda ss: jnp.any(active_of(ss)),
+            lambda ss: step(
+                consts_i, ss, rows_tab=g.inst_rows, motion=False
+            ),
+            sub,
         )
-        return tuple(
-            a.at[:, sel].set(b) if a.ndim == 2 else a.at[sel].set(b)
-            for a, b in zip(s, sub)
-        )
+        nt, np_, nb1, nb2 = sub[3], sub[4], sub[5], sub[6]
+        changed = (nt != t_b) | (np_ != p_b)
+        return (nt, np_, nb1, nb2, jnp.where(changed, i, in_b))
 
-    state = jax.lax.while_loop(outer_cond, outer_body, state)
-    return state[3], state[4], state[5], state[6]
+    t_best, prim_best, b1b, b2b, inst_best = jax.lax.fori_loop(
+        0, I, inst_body, (t_best, prim_best, b1b, b2b, inst_best)
+    )
+    return t_best, prim_best, b1b, b2b, inst_best
 
 
 #: leaf/voxel primitive tests run in statically-unrolled chunks of this size
@@ -1137,16 +1251,18 @@ def intersect(g: SceneGeometry, ray: geom.Ray, any_hit: bool = False) -> Hit:
             b1=jnp.zeros((R,), jnp.float32),
             b2=jnp.zeros((R,), jnp.float32),
         )
-    if g.accel_kind == "bvh" and g.wide_rows is not None:
+    if g.accel_kind == "bvh" and (
+        g.wide_rows is not None or g.inst_rows is not None
+    ):
         # batched fast path (no vmap): slot-major (8, R) math + (W, R) stack
         if g.has_motion:
             tw = motion_weight(g, ray.time)
         else:
             tw = None
-        t, prim, b1, b2 = _traverse_wide_batch(
+        t, prim, b1, b2, inst = _traverse_wide_batch(
             g, ray.origin, ray.direction, ray.tmin, ray.tmax, any_hit, tw
         )
-        return Hit(t=t, prim=prim, b1=b1, b2=b2)
+        return Hit(t=t, prim=prim, b1=b1, b2=b2, inst=inst)
     if g.accel_kind == "bvh" and g.num_triangles == 0:
         # pure-quadric scene: dense quadric pass only
         traverse = lambda g_, o, d, t0, t1, ah, tw=None: _quad_best(

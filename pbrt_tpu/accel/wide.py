@@ -93,11 +93,16 @@ def build_wide_bvh(
     tri_e1: np.ndarray,
     tri_e2: np.ndarray,
     tri_motion: np.ndarray | None = None,  # (T, 9) deltas of [v0,e1,e2]
+    row_base: int = 0,
+    pid_base: int = 0,
 ) -> WideBVH:
     """Collapse a binary BVH over triangles into the unified wide table.
 
     ``tree.prim_order`` must index triangles (the binary tree is built over
-    triangles only; quadrics are tested densely outside the BVH)."""
+    triangles only; quadrics are tested densely outside the BVH).
+    ``row_base``/``pid_base`` offset the emitted child-row references and
+    triangle ids — used when several per-object BLAS tables are
+    concatenated into one shared table (instancing)."""
     second = tree.node_second
     count = tree.node_count
     lo = tree.node_lo
@@ -158,7 +163,7 @@ def build_wide_bvh(
                     mrow[8 * ax + j] = tri_motion[t][ax]
                     mrow[24 + 8 * ax + j] = tri_motion[t][3 + ax]
                     mrow[48 + 8 * ax + j] = tri_motion[t][6 + ax]
-            row[72 + j] = float(t)
+            row[72 + j] = float(t + pid_base)
         rows[r] = row
         motion[r] = mrow
         return r
@@ -200,7 +205,7 @@ def build_wide_bvh(
         row[16], row[24] = lo[0][1], hi[0][1]
         row[32], row[40] = lo[0][2], hi[0][2]
         row[48:56] = 0.0
-        row[48] = float(-(lr + 1))
+        row[48] = float(-(lr + row_base + 1))
         rows[root_row] = row
         motion[root_row] = np.zeros(W_ROW, np.float32)
     else:
@@ -220,11 +225,11 @@ def build_wide_bvh(
                 row[16 + j], row[24 + j] = lo[s][1], hi[s][1]
                 row[32 + j], row[40 + j] = lo[s][2], hi[s][2]
                 if count[s] > 0 or is_leaf_slot(s):
-                    row[48 + j] = float(-(leaf_row(s) + 1))
+                    row[48 + j] = float(-(leaf_row(s) + row_base + 1))
                 else:
                     c = alloc()
                     work.append((c, s))
-                    row[48 + j] = float(c)
+                    row[48 + j] = float(c + row_base)
             rows[r] = row
             motion[r] = np.zeros(W_ROW, np.float32)
 

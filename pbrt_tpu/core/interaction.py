@@ -85,6 +85,7 @@ def surface_interaction(
         mat_t = row[:, 21].astype(jnp.int32)
         al_t = row[:, 22].astype(jnp.int32)
         mid_t = row[:, 23].astype(jnp.int32)
+        # (mid_t overridden below for instanced hits)
         if g.has_motion:
             from pbrt_tpu.accel.intersect import motion_weight
 
@@ -103,6 +104,25 @@ def surface_interaction(
         ng_t = geom.face_forward(ng_t, ns_t)
         uv_t = b0[:, None] * uv0 + b1[:, None] * uv1 + b2[:, None] * uv2
         dpdu_t = geom.normalize(e1)
+        if g.inst_rows is not None and hit.inst is not None:
+            # instanced hit: the gathered normals/tangents are OBJECT-space
+            # — rotate into world by the instance transform (normals by the
+            # inverse-transpose, i.e. n @ w2o_rot, same convention as the
+            # quadric path below; reference: TransformedPrimitive
+            # w2p(in) → world dg, primitive.cpp)
+            ii = jnp.maximum(hit.inst, 0)
+            w2o_r = g.inst_w2o[ii][:, :3, :3]
+            o2w_r = g.inst_o2w[ii][:, :3, :3]
+            is_inst = (hit.inst >= 0)[:, None]
+            ns_w = geom.normalize(jnp.einsum("ri,rij->rj", ns_t, w2o_r))
+            ng_w = geom.normalize(jnp.einsum("ri,rij->rj", ng_t, w2o_r))
+            dp_w = geom.normalize(jnp.einsum("rij,rj->ri", o2w_r, dpdu_t))
+            ns_t = jnp.where(is_inst, ns_w, ns_t)
+            ng_t = jnp.where(is_inst, ng_w, ng_t)
+            dpdu_t = jnp.where(is_inst, dp_w, dpdu_t)
+            # each instance use carries its own primitive id (reference:
+            # TransformedPrimitive primitiveId, primitive.h:40-44)
+            mid_t = jnp.where(hit.inst >= 0, g.inst_mesh_id[ii], mid_t)
         if spread is not None:
             # ray-cone texture footprint: the cone's circular cross-section
             # (radius t·spread) projected onto the surface is an ellipse —

@@ -159,7 +159,41 @@ def build(desc: SceneDescription) -> BuiltScene:
         shape_records.append(
             (rec, rec.object_to_world.m[0], rec.object_to_world.m[1])
         )
+    # Memory-shared instancing (reference: TransformedPrimitive,
+    # primitive.h:89 + api.cpp:1159-1212): an object referenced by ≥2
+    # STATIC ObjectInstance uses keeps ONE object-space copy of its
+    # geometry + BLAS; each use is a row in the instance table traversed
+    # through a per-instance ray transform. Animated uses, single uses,
+    # quadric-containing objects, and non-BVH accelerators fall back to
+    # flattening (which duplicates geometry but supports everything).
+    from collections import Counter
+
+    accel_is_bvh = desc.accelerator[0] not in ("kdtree", "kdtreeaccel", "grid")
+    use_count = Counter(i.name for i in desc.instances)
+
+    def _tlas_eligible(name):
+        recs = desc.objects.get(name, [])
+        if not recs or use_count[name] < 2 or not accel_is_bvh:
+            return False
+        for rec in recs:
+            if rec.shape_type in _QUADRIC_TYPES:
+                return False
+            if not np.allclose(rec.object_to_world.m[0],
+                               rec.object_to_world.m[1], atol=1e-12):
+                return False
+            if rec.area_light is not None:
+                return False  # reference: area lights in instances warn
+        return True
+
+    tlas_uses: list = []  # (name, o2w 4x4) static instance uses
     for inst in desc.instances:
+        static = np.allclose(
+            inst.instance_to_world.m[0], inst.instance_to_world.m[1],
+            atol=1e-12,
+        )
+        if static and _tlas_eligible(inst.name):
+            tlas_uses.append((inst.name, inst.instance_to_world.m[0]))
+            continue
         for rec in desc.objects.get(inst.name, []):
             o2w0 = inst.instance_to_world.m[0] @ rec.object_to_world.m[0]
             o2w1 = inst.instance_to_world.m[1] @ rec.object_to_world.m[1]
@@ -334,12 +368,143 @@ def build(desc: SceneDescription) -> BuiltScene:
     dv = cat(tri_dv, 9) if any_motion else None
     dn = cat(tri_dn, 9) if any_motion else None
 
+    # --- instanced objects: ONE object-space copy + per-object BLAS -------
+    # (reference: TransformedPrimitive sharing, primitive.h:89). Object
+    # triangles are appended to the global tables AFTER the world tris
+    # ([T_world, T) below); only [0, T_world) enters the world BVH. Their
+    # normals/tangents are object-space — surface_interaction rotates them
+    # by the hit instance's transform.
+    T_world = T
+    inst_extra = {}
+    if tlas_uses:
+        from pbrt_tpu.accel.wide import build_wide_bvh as _bwb, LEAF_TRIS
+
+        obj_names = list(dict.fromkeys(n for n, _ in tlas_uses))
+        obj_info = {}
+        blas_rows = []
+        row_off = 0
+        add_v0, add_e1, add_e2 = [], [], []
+        add_n, add_uv, add_mat, add_al, add_mid = [], [], [], [], []
+        for name in obj_names:
+            ov0, oe1, oe2 = [], [], []
+            for rec in desc.objects[name]:
+                mesh = _refine_shape(rec, rec.object_to_world.m[0])
+                if mesh is None:
+                    continue
+                idx = mesh.indices
+                p = mesh.positions
+                a0 = p[idx[:, 0]]
+                a1 = p[idx[:, 1]] - a0
+                a2 = p[idx[:, 2]] - a0
+                cnt = len(idx)
+                ov0.append(a0.astype(np.float32))
+                oe1.append(a1.astype(np.float32))
+                oe2.append(a2.astype(np.float32))
+                if mesh.normals is not None:
+                    nn = (mesh.normals[idx[:, 0]], mesh.normals[idx[:, 1]],
+                          mesh.normals[idx[:, 2]])
+                else:
+                    fn = np.cross(a1, a2)
+                    fn /= np.maximum(
+                        np.linalg.norm(fn, axis=-1, keepdims=True), 1e-20
+                    )
+                    if rec.reverse_orientation:
+                        fn = -fn
+                    nn = (fn, fn, fn)
+                if mesh.uvs is not None:
+                    uvv = (mesh.uvs[idx[:, 0]], mesh.uvs[idx[:, 1]],
+                           mesh.uvs[idx[:, 2]])
+                else:
+                    z = np.zeros((cnt, 2), np.float32)
+                    uvv = (z, z + [1.0, 0.0], z + [1.0, 1.0])
+                add_n.append(tuple(x.astype(np.float32) for x in nn))
+                add_uv.append(tuple(x.astype(np.float32) for x in uvv))
+                add_mat.append(np.full(cnt, mat_id_for(rec.material), np.int32))
+                add_al.append(np.full(cnt, -1, np.int32))
+                add_mid.append(np.full(cnt, rec.primitive_id, np.int32))
+            o_v0 = np.concatenate(ov0)
+            o_e1 = np.concatenate(oe1)
+            o_e2 = np.concatenate(oe2)
+            lo_o = np.minimum(np.minimum(o_v0, o_v0 + o_e1), o_v0 + o_e2)
+            hi_o = np.maximum(np.maximum(o_v0, o_v0 + o_e1), o_v0 + o_e2)
+            tree_o = bvh_mod.build_bvh(
+                lo_o, hi_o, method="sah", max_prims_in_node=LEAF_TRIS
+            )
+            wide_o = _bwb(
+                tree_o, o_v0, o_e1, o_e2, row_base=row_off, pid_base=T
+            )
+            obj_info[name] = dict(
+                root=row_off, stack=wide_o.max_stack,
+                lo=lo_o.min(axis=0), hi=hi_o.max(axis=0),
+            )
+            blas_rows.append(wide_o.rows)
+            row_off += len(wide_o.rows)
+            add_v0.append(o_v0)
+            add_e1.append(o_e1)
+            add_e2.append(o_e2)
+            T += len(o_v0)
+        # append object-space triangles to the global tables
+        v0 = np.concatenate([v0] + add_v0).astype(np.float32)
+        e1 = np.concatenate([e1] + add_e1).astype(np.float32)
+        e2 = np.concatenate([e2] + add_e2).astype(np.float32)
+        n0 = np.concatenate([n0] + [t[0] for t in add_n])
+        n1 = np.concatenate([n1] + [t[1] for t in add_n])
+        n2 = np.concatenate([n2] + [t[2] for t in add_n])
+        uv0 = np.concatenate([uv0] + [t[0] for t in add_uv]).astype(np.float32)
+        uv1 = np.concatenate([uv1] + [t[1] for t in add_uv]).astype(np.float32)
+        uv2 = np.concatenate([uv2] + [t[2] for t in add_uv]).astype(np.float32)
+        tri_mat.append(np.concatenate(add_mat))
+        tri_al.append(np.concatenate(add_al))
+        tri_mid.append(np.concatenate(add_mid))
+        if any_motion:
+            pad9 = np.zeros((T - T_world, 9), np.float32)
+            dv = np.concatenate([dv, pad9])
+            dn = np.concatenate([dn, pad9])
+        # instance table: each use gets its own fresh mesh id (reference:
+        # TransformedPrimitive carries its own primitiveId, primitive.h:40)
+        mid_base = 1 + max(
+            [int(r.primitive_id) for r in desc.shapes]
+            + [int(r.primitive_id) for rs in desc.objects.values()
+               for r in rs]
+            + [0]
+        )
+        i_o2w, i_w2o, i_root, i_lo, i_hi, i_mid = [], [], [], [], [], []
+        for k, (name, m) in enumerate(tlas_uses):
+            info = obj_info[name]
+            i_o2w.append(m.astype(np.float32))
+            i_w2o.append(np.linalg.inv(m).astype(np.float32))
+            i_root.append(info["root"])
+            blo, bhi = xf.apply_bbox(m, info["lo"], info["hi"])
+            i_lo.append(blo.astype(np.float32))
+            i_hi.append(bhi.astype(np.float32))
+            i_mid.append(mid_base + k)
+        inst_extra = dict(
+            inst_rows=jnp.asarray(np.concatenate(blas_rows), jnp.float32),
+            inst_o2w=jnp.asarray(np.stack(i_o2w)),
+            inst_w2o=jnp.asarray(np.stack(i_w2o)),
+            inst_root=jnp.asarray(np.asarray(i_root, np.int32)),
+            inst_lo=jnp.asarray(np.stack(i_lo)),
+            inst_hi=jnp.asarray(np.stack(i_hi)),
+            inst_mesh_id=jnp.asarray(np.asarray(i_mid, np.int32)),
+            inst_stack=max(
+                [info["stack"] for info in obj_info.values()] + [8]
+            ),
+        )
+
     # --- BVH ----------------------------------------------------------------
-    lo_t = np.minimum(np.minimum(v0, v0 + e1), v0 + e2) if T else np.zeros((0, 3))
-    hi_t = np.maximum(np.maximum(v0, v0 + e1), v0 + e2) if T else np.zeros((0, 3))
-    if any_motion and T:
+    # world BVH over the WORLD triangles only ([0, T_world)); object-space
+    # instanced triangles are reached through the instance phase
+    w_v0, w_e1, w_e2 = v0[:T_world], e1[:T_world], e2[:T_world]
+    lo_t = (np.minimum(np.minimum(w_v0, w_v0 + w_e1), w_v0 + w_e2)
+            if T_world else np.zeros((0, 3)))
+    hi_t = (np.maximum(np.maximum(w_v0, w_v0 + w_e1), w_v0 + w_e2)
+            if T_world else np.zeros((0, 3)))
+    if any_motion and T_world:
         # union with shutter-end bounds so the static BVH covers the sweep
-        v0e, e1e, e2e = v0 + dv[:, 0:3], e1 + dv[:, 3:6], e2 + dv[:, 6:9]
+        w_dv = dv[:T_world]
+        v0e = w_v0 + w_dv[:, 0:3]
+        e1e = w_e1 + w_dv[:, 3:6]
+        e2e = w_e2 + w_dv[:, 6:9]
         lo_e = np.minimum(np.minimum(v0e, v0e + e1e), v0e + e2e)
         hi_e = np.maximum(np.maximum(v0e, v0e + e1e), v0e + e2e)
         lo_t = np.minimum(lo_t, lo_e)
@@ -359,14 +524,15 @@ def build(desc: SceneDescription) -> BuiltScene:
     # 8-wide unified BVH over triangles only (the TPU fast path;
     # accel/wide.py). Quadrics are tested densely by the traversal.
     wide = None
-    if T and accel_name not in ("kdtree", "kdtreeaccel", "grid"):
+    if T_world and accel_name not in ("kdtree", "kdtreeaccel", "grid"):
         from pbrt_tpu.accel.wide import build_wide_bvh, LEAF_TRIS
 
         tri_tree = bvh_mod.build_bvh(
             lo_t, hi_t, method=method, max_prims_in_node=LEAF_TRIS
         )
         wide = build_wide_bvh(
-            tri_tree, v0, e1, e2, tri_motion=dv if any_motion else None
+            tri_tree, w_v0, w_e1, w_e2,
+            tri_motion=dv[:T_world] if any_motion else None,
         )
     # alternative accelerators (reference: kdtreeaccel.cpp, grid.cpp) —
     # attached alongside the BVH arrays; traversal dispatches on accel_kind
@@ -404,6 +570,9 @@ def build(desc: SceneDescription) -> BuiltScene:
         )
     world_lo = lo.min(axis=0) if len(lo) else np.zeros(3)
     world_hi = hi.max(axis=0) if len(hi) else np.ones(3)
+    if inst_extra:
+        world_lo = np.minimum(world_lo, np.asarray(inst_extra["inst_lo"]).min(axis=0))
+        world_hi = np.maximum(world_hi, np.asarray(inst_extra["inst_hi"]).max(axis=0))
 
     f32 = lambda a: jnp.asarray(np.asarray(a, np.float32))
     i32 = lambda a: jnp.asarray(np.asarray(a, np.int32))
@@ -424,6 +593,8 @@ def build(desc: SceneDescription) -> BuiltScene:
         quad_area_light=i32([q["al"] for q in quads]),
         quad_mesh_id=i32([q["mid"] for q in quads]),
         quad_reverse=jnp.asarray([bool(q["reverse"]) for q in quads], bool),
+        quad_active_types=tuple(sorted({int(q["type"]) for q in quads}))
+        or (0,),
         node_lo=f32(tree.node_lo), node_hi=f32(tree.node_hi),
         node_second=i32(tree.node_second), node_count=i32(tree.node_count),
         node_axis=i32(tree.node_axis), prim_order=i32(tree.prim_order),
@@ -440,6 +611,7 @@ def build(desc: SceneDescription) -> BuiltScene:
         ),
         wide_stack=wide.max_stack if wide is not None else 8,
         **accel_extra,
+        **inst_extra,
     )
     geometry = pack_geometry(geometry)
 
