@@ -740,7 +740,7 @@ WIDE_COMPACT = int(_os.environ.get("PBRT_TPU_WIDE_COMPACT", "2048"))
 #: warm-phase stack width: every push/pop streams the whole (Ws, R)
 #: register, so a narrow warm stack is ~W/Ws cheaper per iteration; lanes
 #: that would overflow freeze and finish in the full-width straggler phase
-WIDE_WARM_STACK = int(_os.environ.get("PBRT_TPU_WIDE_WARM_STACK", "16"))
+WIDE_WARM_STACK = int(_os.environ.get("PBRT_TPU_WIDE_WARM_STACK", "24"))
 
 
 def _traverse_wide_batch(g: SceneGeometry, o, d, tmin, tmax, any_hit: bool,
@@ -936,10 +936,24 @@ def _traverse_wide_batch(g: SceneGeometry, o, d, tmin, tmax, any_hit: bool,
         return (cur, stack, n_stack, t_best, prim_best, b1b, b2b, alive)
 
     if rows is not None and g.num_triangles > 0:
-        # ---- phase 1: fixed full-width warm iterations ------------------
-        state = jax.lax.fori_loop(
-            0, WIDE_WARM,
-            lambda _, s: step(consts0, s, freeze_overflow=W1 < W),
+        # ---- phase 1: full-width while, until few lanes remain ----------
+        # Runs while more than WIDE_COMPACT lanes can still make progress:
+        # incoherent batches (mean 1.5 steps) leave it after a few
+        # iterations, coherent primary batches (everyone traversing deep)
+        # stay full-width instead of being chopped into compacted
+        # sub-passes (measured: a fixed 10-iteration warm made primaries
+        # 2.6× slower than letting the full-width loop run)
+        thresh = min(WIDE_COMPACT, R) if R > WIDE_COMPACT else 0
+
+        def warm_cond(s):
+            act = active_of(s)
+            if W1 < W:
+                act = act & (s[2] <= W1 - 7)  # frozen lanes can't progress
+            return jnp.sum(act.astype(jnp.int32)) > thresh
+
+        state = jax.lax.while_loop(
+            warm_cond,
+            lambda s: step(consts0, s, freeze_overflow=W1 < W),
             init,
         )
         if W1 < W:

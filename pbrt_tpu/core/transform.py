@@ -18,7 +18,7 @@ import dataclasses
 import jax.numpy as jnp
 import numpy as np
 
-from pbrt_tpu.utils import pytree_dataclass
+from pbrt_tpu.utils import pytree_dataclass, static_field
 
 
 # ---------------------------------------------------------------------------
@@ -288,6 +288,10 @@ class AnimatedTransform:
     times: jnp.ndarray  # (2,)
     m_start: jnp.ndarray  # (4, 4) full matrices for endpoints
     m_end: jnp.ndarray
+    #: build-time static: identical keyframes skip the per-ray
+    #: slerp+compose entirely (a static camera was paying ~5 ms per 32k
+    #: rays in lane-padded (R,4,4) quaternion math)
+    is_static: bool = static_field(default=False)
 
     @staticmethod
     def from_matrices(m0: np.ndarray, m1: np.ndarray, t0: float, t1: float):
@@ -304,6 +308,7 @@ class AnimatedTransform:
             times=f32(np.array([t0, t1])),
             m_start=f32(m0),
             m_end=f32(m1),
+            is_static=bool(np.allclose(m0, m1, atol=1e-12)),
         )
 
     @property
@@ -311,7 +316,13 @@ class AnimatedTransform:
         return jnp.any(self.m_start != self.m_end)
 
     def interpolate(self, time):
-        """time (...,) → matrices (..., 4, 4). jnp, jit-safe."""
+        """time (...,) → matrices (..., 4, 4). jnp, jit-safe.
+
+        Static transforms (is_static) return the single (4, 4) keyframe —
+        it broadcasts through apply_point/apply_vector without the
+        per-lane slerp/compose."""
+        if self.is_static:
+            return self.m_start
         t0, t1 = self.times[0], self.times[1]
         dt = jnp.clip((time - t0) / jnp.maximum(t1 - t0, 1e-20), 0.0, 1.0)
         trans = (1.0 - dt)[..., None] * self.T[0] + dt[..., None] * self.T[1]

@@ -91,6 +91,8 @@ def add_samples(
     depth: jnp.ndarray,  # (R,) ray.maxt at termination (0 for miss)
     table: jnp.ndarray,  # (FILTER_TABLE_SIZE, FILTER_TABLE_SIZE)
     sample_scale: jnp.ndarray | None = None,  # (R,) per-sample weight scale
+    sorted_pixels: bool = False,  # caller promise: px,py are a row-major
+    #   nondecreasing pixel walk (the scan renderer's chunks are)
 ) -> FilmState:
     """Filter-weighted scatter accumulation (AddSample semantics,
     reference: spectralImage.cpp:77-152). Sample (px, py) contributes to
@@ -104,10 +106,48 @@ def add_samples(
     dy = py - 0.5
     nx = max(1, int(np.ceil(2.0 * fx)))
     ny = max(1, int(np.ceil(2.0 * fy)))
-    x0 = jnp.ceil(dx - fx).astype(jnp.int32)
-    y0 = jnp.ceil(dy - fy).astype(jnp.int32)
     pixels, weight, depth_acc = state.pixels, state.weight, state.depth
     ts = FILTER_TABLE_SIZE
+    if sorted_pixels and nx == 1 and ny == 1:
+        # one-tap filter (box ≤0.5 px): every sample lands in its OWN
+        # pixel, so target = floor(px) and the scatter indices follow the
+        # chunk's sorted pixel order — the sorted-scatter hint avoids the
+        # general scatter's conflict handling (measured 4.4 ms → sub-ms
+        # per 32k×32-bin chunk)
+        xi = jnp.floor(px).astype(jnp.int32)
+        yi = jnp.floor(py).astype(jnp.int32)
+        fxo = jnp.abs(xi.astype(px.dtype) - dx)
+        fyo = jnp.abs(yi.astype(py.dtype) - dy)
+        in_f = (fxo < fx) & (fyo < fy)
+        tx = jnp.clip((fxo / fx * ts).astype(jnp.int32), 0, ts - 1)
+        ty = jnp.clip((fyo / fy * ts).astype(jnp.int32), 0, ts - 1)
+        w = jnp.where(in_f, table[ty, tx], 0.0)
+        if sample_scale is not None:
+            w = w * sample_scale
+        flat = jnp.clip(yi * W + xi, 0, H * W - 1)
+        pixels = (
+            pixels.reshape(H * W, -1)
+            .at[flat]
+            .add(w[:, None] * L, indices_are_sorted=True)
+            .reshape(H, W, -1)
+        )
+        weight = (
+            weight.reshape(H * W)
+            .at[flat]
+            .add(w, indices_are_sorted=True)
+            .reshape(H, W)
+        )
+        depth_acc = (
+            depth_acc.reshape(H * W)
+            .at[flat]
+            .add(w * depth, indices_are_sorted=True)
+            .reshape(H, W)
+        )
+        return dataclasses.replace(
+            state, pixels=pixels, weight=weight, depth=depth_acc
+        )
+    x0 = jnp.ceil(dx - fx).astype(jnp.int32)
+    y0 = jnp.ceil(dy - fy).astype(jnp.int32)
     for oy in range(ny):
         for ox in range(nx):
             xi = x0 + ox

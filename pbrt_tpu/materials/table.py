@@ -94,6 +94,9 @@ class MaterialTable:
     packed: jnp.ndarray = None  # (M, 6S+16) f32
     active_lobes: tuple = static_field(default=(L_LAMBERT,))
     has_mix: bool = static_field(default=False)
+    #: max lobes any material in the scene actually uses — bounds the
+    #: static per-slot evaluation loops (matte scenes pay 1 slot, not 4)
+    max_lobes: int = static_field(default=MAX_LOBES)
 
     @property
     def count(self) -> int:
@@ -120,6 +123,7 @@ class LaneMaterial:
     irreg_count: jnp.ndarray
     merl_offset: jnp.ndarray
     active_lobes: tuple = static_field(default=(L_LAMBERT,))
+    max_lobes: int = static_field(default=MAX_LOBES)
 
 
 @pytree_dataclass
@@ -194,6 +198,7 @@ def _gather_plain(mt: MaterialTable, i) -> LaneMaterial:
             irreg_count=mt.irreg_count[i],
             merl_offset=mt.merl_offset[i],
             active_lobes=mt.active_lobes,
+            max_lobes=mt.max_lobes,
         )
     # one aligned row gather; fields sliced out of the row
     S = mt.kd.shape[-1]
@@ -218,6 +223,7 @@ def _gather_plain(mt: MaterialTable, i) -> LaneMaterial:
         irreg_count=i32(row[..., base + 6 + MAX_LOBES]),
         merl_offset=i32(row[..., base + 7 + MAX_LOBES]),
         active_lobes=mt.active_lobes,
+        max_lobes=mt.max_lobes,
     )
 
 
@@ -429,7 +435,7 @@ def _bsdf_f_one(lm: LaneMaterial, wo, wi, pools=None):
     """Per-lane Σ over the material's lobes. Local frame, wo/wi (3,)."""
     s = lm.kd.shape[-1]
     f = jnp.zeros((s,), wo.dtype)
-    for slot in range(MAX_LOBES):
+    for slot in range(min(MAX_LOBES, lm.max_lobes)):
         active = slot < lm.n_lobes
         lobe = jnp.maximum(lm.lobe_type[slot], 0)
         f = f + jnp.where(active, _lobe_f(lobe, lm, wo, wi, pools), 0.0)
@@ -438,7 +444,7 @@ def _bsdf_f_one(lm: LaneMaterial, wo, wi, pools=None):
 
 def _bsdf_pdf_one(lm: LaneMaterial, wo, wi):
     pdf = jnp.zeros((), wo.dtype)
-    for slot in range(MAX_LOBES):
+    for slot in range(min(MAX_LOBES, lm.max_lobes)):
         active = slot < lm.n_lobes
         lobe = jnp.maximum(lm.lobe_type[slot], 0)
         pdf = pdf + jnp.where(active, _lobe_pdf(lobe, lm, wo, wi), 0.0)
@@ -837,4 +843,5 @@ def build_material_table(records, config, texture_index=None) -> MaterialTable:
         mix_m1=f(mix_m1), mix_m2=f(mix_m2), mix_amt=f(mix_amt),
         active_lobes=active,
         has_mix=bool((kind == MIXMAT).any()),
+        max_lobes=int(max(n_lobes.max(), 1)) if M else 1,
     ))

@@ -107,6 +107,7 @@ def render_wave(
     film_cfg,
     sample_scale=None,  # (R,) adaptive supersampling mask
     want_stats: bool = False,
+    sorted_pixels: bool = False,
 ):
     """One sample wave for one pixel chunk. Pure; jit at call site.
 
@@ -133,7 +134,7 @@ def render_wave(
     L = jnp.where(bad, 0.0, L)
     state = film_mod.add_samples(
         film_state, film_cfg, px, py, L, first_t, filter_table,
-        sample_scale=sample_scale,
+        sample_scale=sample_scale, sorted_pixels=sorted_pixels,
     )
     if not want_stats:
         return state
@@ -211,7 +212,7 @@ def _render_scan_jit(
         state = render_wave(
             state, scene, camera, filter_table, cx, cy, s,
             root_key, icfg, sampler_name, spp, film_cfg,
-            sample_scale=m,
+            sample_scale=m, sorted_pixels=True,
         )
         return state, None
 
@@ -266,8 +267,10 @@ def render(built, spp=None, seed: int = 0, chunk_pixels: int | None = None,
     # pad to a whole number of chunks so shapes stay static
     pad = (-n_pix) % chunk
     if pad:
-        all_x = np.concatenate([all_x, np.full(pad, x0, np.int32)])
-        all_y = np.concatenate([all_y, np.full(pad, y0, np.int32)])
+        # repeat the LAST pixel (weight-masked) so chunk pixel ids stay
+        # nondecreasing — the sorted-scatter film fast path relies on it
+        all_x = np.concatenate([all_x, np.full(pad, all_x[-1], np.int32)])
+        all_y = np.concatenate([all_y, np.full(pad, all_y[-1], np.int32)])
     n_chunks = len(all_x) // chunk
 
     film_state = resumed_state if resumed_state is not None else film_mod.init_film(cfg)
