@@ -2,6 +2,10 @@
 (reference: accelerators/kdtreeaccel.cpp, grid.cpp; fuzzing pattern from
 renderers/aggregatetest.cpp:53-112)."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy: excluded from the fast tier
+
 import dataclasses
 
 import numpy as np

@@ -1,5 +1,9 @@
 """Adaptive sampler supersampling (reference: src/samplers/adaptive.{h,cpp})."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy: excluded from the fast tier
+
 import numpy as np
 
 from pbrt_tpu.renderers.sampler import render

@@ -8,6 +8,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy: excluded from the fast tier
+
 from pbrt_tpu.core import rng as rngmod
 from pbrt_tpu.integrators import grad as grad_mod
 from pbrt_tpu.integrators.path import trace_radiance

@@ -1,5 +1,9 @@
 """IGI virtual-point-light integrator: indirect bounce light appears."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy: excluded from the fast tier
+
 import numpy as np
 
 from pbrt_tpu.renderers.sampler import render

@@ -7,6 +7,10 @@ instance table; these tests pin (1) the memory bound, (2) hit parity with
 the flattened equivalent, and (3) per-instance metadata ids.
 """
 
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy: excluded from the fast tier
+
 import numpy as np
 import jax.numpy as jnp
 

@@ -1,3 +1,7 @@
+
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy: excluded from the fast tier
 import jax.numpy as jnp
 import numpy as np
 

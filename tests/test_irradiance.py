@@ -1,5 +1,9 @@
 """Irradiance-cache-equivalent gather and probe integrators."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy: excluded from the fast tier
+
 import numpy as np
 
 from pbrt_tpu.renderers.sampler import render

@@ -2,6 +2,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy: excluded from the fast tier
+
 from pbrt_tpu.bsdf import measured as meas
 from pbrt_tpu.config import DEFAULT_SPECTRAL
 

@@ -1,5 +1,9 @@
 """Parallel-chain PSSMLT converges to the path-tracing estimate."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy: excluded from the fast tier
+
 import numpy as np
 
 from pbrt_tpu.film import film as film_mod

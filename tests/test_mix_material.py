@@ -1,6 +1,10 @@
 """Mix material correctness (reference: src/materials/mix.cpp —
 BSDF = amount·lobes(m1) + (1−amount)·lobes(m2))."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy: excluded from the fast tier
+
 import numpy as np
 
 from pbrt_tpu.film import film as film_mod

@@ -3,6 +3,10 @@
 api.cpp:1071-1105). TPU design: shutter-end vertex deltas lerped by ray
 time inside traversal."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy: excluded from the fast tier
+
 import numpy as np
 
 from pbrt_tpu.renderers.sampler import render

@@ -1,5 +1,9 @@
 """Photon map: shooting deposits photons; integrator adds indirect light."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy: excluded from the fast tier
+
 import numpy as np
 
 from pbrt_tpu.renderers.sampler import render

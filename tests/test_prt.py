@@ -1,6 +1,10 @@
 """PRT integrators (reference: integrators/diffuseprt.cpp,
 glossyprt.cpp + core/sh.cpp transfer projection)."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy: excluded from the fast tier
+
 import numpy as np
 
 from pbrt_tpu.renderers.sampler import render

@@ -3,6 +3,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy: excluded from the fast tier
+
 from pbrt_tpu.core import sampling as smp
 from pbrt_tpu.core import sh
 

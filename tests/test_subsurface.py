@@ -1,5 +1,9 @@
 """Dipole BSSRDF: Rd properties + end-to-end subsurface render."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy: excluded from the fast tier
+
 import jax.numpy as jnp
 import numpy as np
 

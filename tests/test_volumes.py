@@ -4,6 +4,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy: excluded from the fast tier
+
 from pbrt_tpu.film import film as film_mod
 from pbrt_tpu.renderers.sampler import render
 from pbrt_tpu.scene.api import load_scene_string
