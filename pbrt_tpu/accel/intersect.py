@@ -731,9 +731,6 @@ def _traverse_wide_one(g: SceneGeometry, o, d, tmin, tmax, any_hit: bool,
 
 import os as _os
 
-#: full-width traversal iterations before straggler compaction (the warm
-#: phase retires the ~95% of rays that finish in a handful of steps)
-WIDE_WARM = int(_os.environ.get("PBRT_TPU_WIDE_WARM", "10"))
 #: compacted straggler batch width (must divide nothing — just a static
 #: sub-batch size; lanes beyond the active count are harmless repeats)
 WIDE_COMPACT = int(_os.environ.get("PBRT_TPU_WIDE_COMPACT", "2048"))
@@ -763,11 +760,12 @@ def _traverse_wide_batch(g: SceneGeometry, o, d, tmin, tmax, any_hit: bool,
       - step counts are wildly skewed (killeroo incoherent batch: mean 1.5
         steps, p99 3, max 26 — scripts/trav_lab.py), so a single
         full-width while_loop runs ~26 iterations with ~5% lane
-        utilization. Instead: WIDE_WARM full-width iterations retire the
-        fast ~95%, then the stragglers are compacted (jnp.nonzero) into
-        WIDE_COMPACT-lane sub-batches that loop to completion at 1/16th
-        the per-iteration cost — the wavefront analogue of the
-        reference's per-ray early loop exit (bvh.cpp:105-200).
+        utilization. Instead: a full-width warm phase runs until fewer
+        than WIDE_COMPACT unfrozen lanes remain, then the stragglers are
+        compacted (jnp.nonzero) into WIDE_COMPACT-lane sub-batches that
+        loop to completion at 1/16th the per-iteration cost — the
+        wavefront analogue of the reference's per-ray early loop exit
+        (bvh.cpp:105-200).
 
     o, d: (R, 3); tmin/tmax/tw: (R,). Returns (t, prim, b1, b2) each (R,).
     """

@@ -30,7 +30,8 @@ class SurfaceInteraction:
     ng: jnp.ndarray  # (R, 3) geometric normal (faceforwarded to shading)
     ns: jnp.ndarray  # (R, 3) shading normal
     uv: jnp.ndarray  # (R, 2)
-    dpdu: jnp.ndarray  # (R, 3) primary tangent (shading frame s-axis seed)
+    dpdu: jnp.ndarray  # (R, 3) parametric ∂p/∂u (shading frame s-axis seed;
+    #   world units per uv unit — magnitude matters for bump mapping)
     wo: jnp.ndarray  # (R, 3) -ray.direction
     material: jnp.ndarray  # (R,) i32, -1 invalid
     area_light: jnp.ndarray  # (R,) i32, -1 none
@@ -103,7 +104,18 @@ def surface_interaction(
         )
         ng_t = geom.face_forward(ng_t, ns_t)
         uv_t = b0[:, None] * uv0 + b1[:, None] * uv1 + b2[:, None] * uv2
-        dpdu_t = geom.normalize(e1)
+        # parametric ∂p/∂u from the uv-edge system (reference:
+        # Triangle::Intersect partial-derivative solve,
+        # trianglemesh.cpp:150-180); degenerate uv → normalized e1
+        duv1p = uv1 - uv0
+        duv2p = uv2 - uv0
+        detp = duv1p[:, 0] * duv2p[:, 1] - duv1p[:, 1] * duv2p[:, 0]
+        okp = jnp.abs(detp) > 1e-12
+        invp = jnp.where(okp, 1.0 / jnp.where(okp, detp, 1.0), 0.0)
+        dpdu_p = (
+            duv2p[:, 1:2] * e1 - duv1p[:, 1:2] * e2
+        ) * invp[:, None]
+        dpdu_t = jnp.where(okp[:, None], dpdu_p, geom.normalize(e1))
         if g.inst_rows is not None and hit.inst is not None:
             # instanced hit: the gathered normals/tangents are OBJECT-space
             # — rotate into world by the instance transform (normals by the

@@ -254,6 +254,52 @@ def apply_textures(scene: RenderScene, si, lm):
     )
     use = has_nm & nonblack
     si = _dc.replace(si, ns=jnp.where(use[..., None], n_new, si.ns))
+    # bump mapping (reference: Material::Bump, core/material.cpp:40-84):
+    # displacement texture sampled at u+du / v+dv offsets; perturbed
+    # dpdu/dpdv; n = normalize(cross). du from the ray-cone uv footprint
+    # (the wavefront's dudx analogue) with the reference's .01 fallback —
+    # filtered evaluation flattens the perturbation at distance exactly
+    # like the reference's differential-filtered Evaluate. The fork
+    # prefers normalmap when present (anisoward.cpp:47-56).
+    if mats.has_bump:
+        btid = mats.bump_tex[mi]
+        has_b = (btid >= 0) & ~use
+        sig = si.uv_sigma if si.uv_sigma is not None else None
+        du = (
+            jnp.where(sig > 1e-8, sig, 0.01)
+            if sig is not None
+            else jnp.full(si.t.shape, 0.01)
+        )
+        d0 = tex_mod.eval_float(tt, btid, si.uv, si.p, *fp)
+        # PARAMETRIC-scale tangents (world units per uv unit): the
+        # displacement gradient (world per uv) must be commensurate with
+        # them or the perturbation is wildly over/under-scaled. dpdv is
+        # synthesized orthogonal at |dpdu| (documented approximation —
+        # exact for square uv parameterizations)
+        dpdu0 = si.dpdu
+        mag = jnp.linalg.norm(dpdu0, axis=-1, keepdims=True)
+        dpdv0 = geom.normalize(jnp.cross(si.ns, dpdu0)) * jnp.maximum(
+            mag, 1e-12
+        )
+        uv_u = si.uv.at[..., 0].add(du)
+        uv_v = si.uv.at[..., 1].add(du)
+        d_u = tex_mod.eval_float(
+            tt, btid, uv_u, si.p + du[..., None] * dpdu0, *fp
+        )
+        d_v = tex_mod.eval_float(
+            tt, btid, uv_v, si.p + du[..., None] * dpdv0, *fp
+        )
+        gu = (d_u - d0) / du
+        gv = (d_v - d0) / du
+        dpdu_b = dpdu0 + gu[..., None] * si.ns
+        dpdv_b = dpdv0 + gv[..., None] * si.ns
+        n_b = geom.normalize(jnp.cross(dpdu_b, dpdv_b))
+        n_b = geom.face_forward(n_b, si.ng)
+        si = _dc.replace(
+            si,
+            ns=jnp.where(has_b[..., None], n_b, si.ns),
+            dpdu=jnp.where(has_b[..., None], dpdu_b, si.dpdu),
+        )
     return si, lm
 
 

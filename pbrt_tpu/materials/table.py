@@ -94,6 +94,8 @@ class MaterialTable:
     packed: jnp.ndarray = None  # (M, 6S+16) f32
     active_lobes: tuple = static_field(default=(L_LAMBERT,))
     has_mix: bool = static_field(default=False)
+    #: any material carries a bumpmap texture (compile-gates Material::Bump)
+    has_bump: bool = static_field(default=False)
     #: max lobes any material in the scene actually uses — bounds the
     #: static per-slot evaluation loops (matte scenes pay 1 slot, not 4)
     max_lobes: int = static_field(default=MAX_LOBES)
@@ -843,5 +845,6 @@ def build_material_table(records, config, texture_index=None) -> MaterialTable:
         mix_m1=f(mix_m1), mix_m2=f(mix_m2), mix_amt=f(mix_amt),
         active_lobes=active,
         has_mix=bool((kind == MIXMAT).any()),
+        has_bump=bool((bump_tex >= 0).any()),
         max_lobes=int(max(n_lobes.max(), 1)) if M else 1,
     ))
