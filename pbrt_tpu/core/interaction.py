@@ -43,6 +43,12 @@ class SurfaceInteraction:
     # instead of per-ray differential rays; zero when no spread given)
     uv_sigma: jnp.ndarray = None  # (R,) minor-axis radius in uv units
     uv_major: jnp.ndarray = None  # (R, 2) major-axis vector in uv units
+    # parametric ∂p/∂v and shading-normal derivatives ∂n/∂u, ∂n/∂v —
+    # needed by the exact Material::Bump chain (material.cpp:40-84).
+    # None when the scene has no bump maps (compile-time gate).
+    dpdv: jnp.ndarray = None  # (R, 3) world units per uv unit
+    dndu: jnp.ndarray = None  # (R, 3)
+    dndv: jnp.ndarray = None  # (R, 3)
 
 
 def surface_interaction(
@@ -116,6 +122,30 @@ def surface_interaction(
             duv2p[:, 1:2] * e1 - duv1p[:, 1:2] * e2
         ) * invp[:, None]
         dpdu_t = jnp.where(okp[:, None], dpdu_p, geom.normalize(e1))
+        # parametric ∂p/∂v from the same system (trianglemesh.cpp:150-180:
+        # dpdv = (-duv2[0]*dp1 + duv1[0]*dp2)/det); degenerate uv →
+        # orthogonal completion
+        dpdv_p = (
+            -duv2p[:, 0:1] * e1 + duv1p[:, 0:1] * e2
+        ) * invp[:, None]
+        dpdv_t = jnp.where(
+            okp[:, None], dpdv_p, jnp.cross(ng_t, geom.normalize(e1))
+        )
+        # shading-normal derivatives (Triangle::GetShadingGeometry solves
+        # the identical uv-edge system with normal deltas) — consumed by
+        # the exact bump chain's displace·dndu terms
+        dn1 = n1 - n0
+        dn2 = n2 - n0
+        dndu_t = jnp.where(
+            okp[:, None],
+            (duv2p[:, 1:2] * dn1 - duv1p[:, 1:2] * dn2) * invp[:, None],
+            0.0,
+        )
+        dndv_t = jnp.where(
+            okp[:, None],
+            (-duv2p[:, 0:1] * dn1 + duv1p[:, 0:1] * dn2) * invp[:, None],
+            0.0,
+        )
         if g.inst_rows is not None and hit.inst is not None:
             # instanced hit: the gathered normals/tangents are OBJECT-space
             # — rotate into world by the instance transform (normals by the
@@ -128,10 +158,22 @@ def surface_interaction(
             is_inst = (hit.inst >= 0)[:, None]
             ns_w = geom.normalize(jnp.einsum("ri,rij->rj", ns_t, w2o_r))
             ng_w = geom.normalize(jnp.einsum("ri,rij->rj", ng_t, w2o_r))
-            dp_w = geom.normalize(jnp.einsum("rij,rj->ri", o2w_r, dpdu_t))
+            # tangents transform WITHOUT normalization — the parametric
+            # magnitude (world units per uv unit, incl. instance scale) is
+            # load-bearing for bump mapping
+            dp_w = jnp.einsum("rij,rj->ri", o2w_r, dpdu_t)
+            dpv_w = jnp.einsum("rij,rj->ri", o2w_r, dpdv_t)
+            # normal derivatives transform like normals (inverse
+            # transpose), unnormalized — matches Transform::operator()
+            # on DifferentialGeometry
+            dnu_w = jnp.einsum("ri,rij->rj", dndu_t, w2o_r)
+            dnv_w = jnp.einsum("ri,rij->rj", dndv_t, w2o_r)
             ns_t = jnp.where(is_inst, ns_w, ns_t)
             ng_t = jnp.where(is_inst, ng_w, ng_t)
             dpdu_t = jnp.where(is_inst, dp_w, dpdu_t)
+            dpdv_t = jnp.where(is_inst, dpv_w, dpdv_t)
+            dndu_t = jnp.where(is_inst, dnu_w, dndu_t)
+            dndv_t = jnp.where(is_inst, dnv_w, dndv_t)
             # each instance use carries its own primitive id (reference:
             # TransformedPrimitive primitiveId, primitive.h:40-44)
             mid_t = jnp.where(hit.inst >= 0, g.inst_mesh_id[ii], mid_t)
@@ -150,7 +192,13 @@ def surface_interaction(
             perp = jnp.where(pl > 1e-8, perp / jnp.maximum(pl, 1e-20),
                              dpdu_t)
             par = geom.normalize(jnp.cross(perp, ng_t))
-            cos_i = jnp.clip(jnp.abs(geom.dot(wo, ng_t)), 0.1, 1.0)
+            # NO aggressive grazing clamp: the reference's plane-projected
+            # ray differentials stretch as 1/cosθ unboundedly, which is
+            # what flattens bump/texture detail at the horizon (the EWA
+            # lookup separately clamps eccentricity to MAX_ANISOTROPY, so
+            # filtering cost stays bounded). 1e-3 only guards the exact
+            #-parallel singularity.
+            cos_i = jnp.clip(jnp.abs(geom.dot(wo, ng_t)), 1e-3, 1.0)
 
             g11 = geom.dot(e1, e1)
             g12 = geom.dot(e1, e2)
@@ -208,6 +256,11 @@ def surface_interaction(
         dpdu_q = geom.normalize(
             jnp.einsum("rij,rj->ri", o2w[:, :3, :3], dpdu_obj)
         )
+        # dpdv: θ-direction tangent = dpdu × n (checked against the sphere
+        # parameterization; normalized — quadric bump amplitude is a
+        # documented approximation, parametric magnitudes kept only for
+        # triangles)
+        dpdv_q = geom.normalize(jnp.cross(dpdu_q, n_w))
         uv_q = jnp.stack([hit.b1, hit.b2], -1)
         mat_q = g.quad_material[qi]
         al_q = g.quad_area_light[qi]
@@ -219,6 +272,9 @@ def surface_interaction(
         ns = jnp.where(is_tri, ns_t, n_w)
         uv = jnp.where(is_tri, uv_t, uv_q)
         dpdu = jnp.where(is_tri, dpdu_t, dpdu_q)
+        dpdv = jnp.where(is_tri, dpdv_t, dpdv_q)
+        dndu = jnp.where(is_tri, dndu_t, 0.0)
+        dndv = jnp.where(is_tri, dndv_t, 0.0)
         is_tri1 = hit.prim < T
         material = jnp.where(is_tri1, mat_t, mat_q)
         area_light = jnp.where(is_tri1, al_t, al_q)
@@ -229,10 +285,14 @@ def surface_interaction(
         uv_major = jnp.where(is_tri1[:, None], major_t, 0.0)
     elif T > 0:
         ng, ns, uv, dpdu = ng_t, ns_t, uv_t, dpdu_t
+        dpdv, dndu, dndv = dpdv_t, dndu_t, dndv_t
         material, area_light, mesh_id = mat_t, al_t, mid_t
         uv_sigma, uv_major = sigma_t, major_t
     else:
         ng, ns, uv, dpdu = n_w, n_w, uv_q, dpdu_q
+        dpdv = dpdv_q
+        dndu = jnp.zeros_like(dpdv_q)
+        dndv = jnp.zeros_like(dpdv_q)
         material, area_light, mesh_id = mat_q, al_q, mid_q
         uv_sigma = jnp.zeros(valid.shape)
         uv_major = jnp.zeros(valid.shape + (2,))
@@ -254,6 +314,9 @@ def surface_interaction(
         ray_epsilon=1e-3 * jnp.abs(hit.t),
         uv_sigma=uv_sigma,
         uv_major=uv_major,
+        dpdv=dpdv,
+        dndu=dndu,
+        dndv=dndv,
     )
 
 

@@ -93,6 +93,10 @@ def add_samples(
     sample_scale: jnp.ndarray | None = None,  # (R,) per-sample weight scale
     sorted_pixels: bool = False,  # caller promise: px,py are a row-major
     #   nondecreasing pixel walk (the scan renderer's chunks are)
+    pixel_ids: tuple | None = None,  # (pixel_x, pixel_y) i32 owning-pixel
+    #   ids; REQUIRED with sorted_pixels — floor(px) could land a sample
+    #   one pixel over (iu rounding to 1.0) and break the sortedness the
+    #   fast scatter relies on, so the integer walk is the index source
 ) -> FilmState:
     """Filter-weighted scatter accumulation (AddSample semantics,
     reference: spectralImage.cpp:77-152). Sample (px, py) contributes to
@@ -108,14 +112,15 @@ def add_samples(
     ny = max(1, int(np.ceil(2.0 * fy)))
     pixels, weight, depth_acc = state.pixels, state.weight, state.depth
     ts = FILTER_TABLE_SIZE
-    if sorted_pixels and nx == 1 and ny == 1:
+    if sorted_pixels and nx == 1 and ny == 1 and pixel_ids is not None:
         # one-tap filter (box ≤0.5 px): every sample lands in its OWN
-        # pixel, so target = floor(px) and the scatter indices follow the
-        # chunk's sorted pixel order — the sorted-scatter hint avoids the
-        # general scatter's conflict handling (measured 4.4 ms → sub-ms
-        # per 32k×32-bin chunk)
-        xi = jnp.floor(px).astype(jnp.int32)
-        yi = jnp.floor(py).astype(jnp.int32)
+        # pixel, so target = the integer owning-pixel walk, which is
+        # nondecreasing by construction in the scan renderer's row-major
+        # chunks — the sorted-scatter hint avoids the general scatter's
+        # conflict handling (measured 4.4 ms → sub-ms per 32k×32-bin chunk)
+        xi, yi = pixel_ids
+        xi = xi.astype(jnp.int32)
+        yi = yi.astype(jnp.int32)
         fxo = jnp.abs(xi.astype(px.dtype) - dx)
         fyo = jnp.abs(yi.astype(py.dtype) - dy)
         in_f = (fxo < fx) & (fyo < fy)

@@ -264,41 +264,54 @@ def apply_textures(scene: RenderScene, si, lm):
     if mats.has_bump:
         btid = mats.bump_tex[mi]
         has_b = (btid >= 0) & ~use
-        sig = si.uv_sigma if si.uv_sigma is not None else None
-        du = (
-            jnp.where(sig > 1e-8, sig, 0.01)
-            if sig is not None
-            else jnp.full(si.t.shape, 0.01)
-        )
+        # per-axis uv offsets from the ray-cone footprint — the analogue of
+        # the reference's du = .5(|dudx|+|dudy|), dv = .5(|dvdx|+|dvdy|)
+        # from ray differentials (material.cpp:46-57), with the same .01
+        # zero-footprint fallback. The cone gives the footprint ellipse's
+        # principal axes; project both onto each uv axis.
+        if si.uv_sigma is not None:
+            maj = si.uv_major
+            ml = jnp.linalg.norm(maj, axis=-1, keepdims=True)
+            perp = jnp.stack([-maj[..., 1], maj[..., 0]], -1) / jnp.maximum(
+                ml, 1e-20
+            )
+            mino = si.uv_sigma[..., None] * perp
+            du = 0.5 * (jnp.abs(maj[..., 0]) + jnp.abs(mino[..., 0]))
+            dv = 0.5 * (jnp.abs(maj[..., 1]) + jnp.abs(mino[..., 1]))
+            du = jnp.where(du > 1e-8, du, 0.01)
+            dv = jnp.where(dv > 1e-8, dv, 0.01)
+        else:
+            du = jnp.full(si.t.shape, 0.01)
+            dv = du
+        # exact Material::Bump displaced-partials chain
+        # (material.cpp:40-84): evaluate the displacement at u/v-offset
+        # auxiliary points (same filter widths), then
+        #   dpdu' = dpdu + (uDisp-disp)/du · n + disp · dndu   (and v alike)
+        dpdu0, dpdv0 = si.dpdu, si.dpdv
         d0 = tex_mod.eval_float(tt, btid, si.uv, si.p, *fp)
-        # PARAMETRIC-scale tangents (world units per uv unit): the
-        # displacement gradient (world per uv) must be commensurate with
-        # them or the perturbation is wildly over/under-scaled. dpdv is
-        # synthesized orthogonal at |dpdu| (documented approximation —
-        # exact for square uv parameterizations)
-        dpdu0 = si.dpdu
-        mag = jnp.linalg.norm(dpdu0, axis=-1, keepdims=True)
-        dpdv0 = geom.normalize(jnp.cross(si.ns, dpdu0)) * jnp.maximum(
-            mag, 1e-12
-        )
-        uv_u = si.uv.at[..., 0].add(du)
-        uv_v = si.uv.at[..., 1].add(du)
         d_u = tex_mod.eval_float(
-            tt, btid, uv_u, si.p + du[..., None] * dpdu0, *fp
+            tt, btid, si.uv.at[..., 0].add(du),
+            si.p + du[..., None] * dpdu0, *fp
         )
         d_v = tex_mod.eval_float(
-            tt, btid, uv_v, si.p + du[..., None] * dpdv0, *fp
+            tt, btid, si.uv.at[..., 1].add(dv),
+            si.p + dv[..., None] * dpdv0, *fp
         )
-        gu = (d_u - d0) / du
-        gv = (d_v - d0) / du
-        dpdu_b = dpdu0 + gu[..., None] * si.ns
-        dpdv_b = dpdv0 + gv[..., None] * si.ns
+        dpdu_b = (
+            dpdu0 + ((d_u - d0) / du)[..., None] * si.ns
+            + d0[..., None] * si.dndu
+        )
+        dpdv_b = (
+            dpdv0 + ((d_v - d0) / dv)[..., None] * si.ns
+            + d0[..., None] * si.dndv
+        )
         n_b = geom.normalize(jnp.cross(dpdu_b, dpdv_b))
         n_b = geom.face_forward(n_b, si.ng)
         si = _dc.replace(
             si,
             ns=jnp.where(has_b[..., None], n_b, si.ns),
             dpdu=jnp.where(has_b[..., None], dpdu_b, si.dpdu),
+            dpdv=jnp.where(has_b[..., None], dpdv_b, si.dpdv),
         )
     return si, lm
 

@@ -135,6 +135,7 @@ def render_wave(
     state = film_mod.add_samples(
         film_state, film_cfg, px, py, L, first_t, filter_table,
         sample_scale=sample_scale, sorted_pixels=sorted_pixels,
+        pixel_ids=(pixel_x, pixel_y),
     )
     if not want_stats:
         return state
@@ -207,43 +208,61 @@ def _render_scan_jit(
     the whole sample loop on device while the per-step footprint stays at
     one chunk. Padded tail lanes carry weight 0 (masked, not halved)."""
 
-    def chunk_step(state, inputs):
-        cx, cy, m, s = inputs
+    C = xs_stack.shape[0]
+
+    def chunk_step(state, step):
+        # index the per-chunk stacks by step instead of materializing
+        # (n_waves*C, chunk) tiled copies — a production-size render would
+        # otherwise hold gigabytes of index data on device
+        ci = step % C
+        s = sample_base + step // C
         state = render_wave(
-            state, scene, camera, filter_table, cx, cy, s,
-            root_key, icfg, sampler_name, spp, film_cfg,
-            sample_scale=m, sorted_pixels=True,
+            state, scene, camera, filter_table, xs_stack[ci], ys_stack[ci],
+            s, root_key, icfg, sampler_name, spp, film_cfg,
+            sample_scale=mask_stack[ci], sorted_pixels=True,
         )
         return state, None
 
-    C = xs_stack.shape[0]
-    xs_rep = jnp.tile(xs_stack, (n_waves, 1))
-    ys_rep = jnp.tile(ys_stack, (n_waves, 1))
-    mask_rep = jnp.tile(mask_stack, (n_waves, 1))
-    s_rep = sample_base + jnp.repeat(
-        jnp.arange(n_waves, dtype=jnp.int32), C
-    )
     state, _ = jax.lax.scan(
-        chunk_step, film_state, (xs_rep, ys_rep, mask_rep, s_rep)
+        chunk_step, film_state, jnp.arange(n_waves * C, dtype=jnp.int32)
     )
     return state
 
 
 def render(built, spp=None, seed: int = 0, chunk_pixels: int | None = None,
            verbose: bool = True, quick: bool = False,
-           checkpoint_path: str | None = None, checkpoint_every: int = 8):
+           checkpoint_path: str | None = None, checkpoint_every: int = 8,
+           diff_spp: int | None = None):
     """Full render: all sample waves × pixel chunks → final FilmState.
 
     ``quick`` mimics the reference --quick flag (spp → 1).
     ``checkpoint_path``: save film + wave counter every ``checkpoint_every``
     waves and resume from it if present (rng keys are structural, so the
     resumed result is bit-identical to an uninterrupted run).
+    ``diff_spp``: spp used for the ray-differential / texture-footprint
+    scale (reference: ray.ScaleDifferentials(1/sqrt(spp)),
+    samplerrenderer.cpp:91) — defaults to the actual spp; parity tests pass
+    the golden's spp to emulate its filter width at reduced sample counts.
     """
     cfg = built.film_config
     icfg = built.integrator
     spp = spp if spp is not None else built.pixel_samples
     if quick:
         spp = 1
+    # reference semantics: per-sample ray differentials cover 1/sqrt(spp)
+    # of the pixel spacing — the texture footprint (and therefore mip level
+    # and bump-offset du/dv) shrinks as spp grows
+    dspp = diff_spp if diff_spp is not None else spp
+    if built.scene.pixel_spread > 0.0 and dspp > 1:
+        import dataclasses as _dc
+
+        built = _dc.replace(
+            built,
+            scene=_dc.replace(
+                built.scene,
+                pixel_spread=built.scene.pixel_spread / float(np.sqrt(dspp)),
+            ),
+        )
     start_sample = 0
     resumed_state = None
     if checkpoint_path:

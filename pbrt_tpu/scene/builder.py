@@ -478,6 +478,12 @@ def build(desc: SceneDescription) -> BuiltScene:
             i_lo.append(blo.astype(np.float32))
             i_hi.append(bhi.astype(np.float32))
             i_mid.append(mid_base + k)
+        # child refs / triangle ids stored in BLAS rows are OFFSET values
+        # (c + row_base, pid + T) kept in f32 — guard the concatenated
+        # totals, not just per-object row counts (a large concatenation
+        # would otherwise silently corrupt references)
+        assert row_off < (1 << 24), "instance BLAS row offset exceeds f32"
+        assert T < (1 << 24), "instanced triangle id exceeds exact-f32"
         inst_extra = dict(
             inst_rows=jnp.asarray(np.concatenate(blas_rows), jnp.float32),
             inst_o2w=jnp.asarray(np.stack(i_o2w)),
