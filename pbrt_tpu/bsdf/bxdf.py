@@ -189,7 +189,11 @@ def microfacet_f(ks, fresnel_val, exponent, wo, wi):
     g = _microfacet_g(wo, wi, wh)
     denom = jnp.maximum(4.0 * coso * cosi, 1e-8)
     f = ks * fresnel_val * (d * g / denom)[..., None]
-    ok = same_hemisphere(wo, wi) & (coso > 1e-8) & (cosi > 1e-8)
+    # hemisphere-agnostic like the reference (Microfacet::f uses
+    # AbsCosTheta with no SameHemisphere check; the geometric-normal
+    # reflection/transmission classification happens at the BSDF level,
+    # reflection.cpp BSDF::f:517-529)
+    ok = (coso > 1e-8) & (cosi > 1e-8)
     return jnp.where(ok[..., None], f, 0.0)
 
 
@@ -296,7 +300,10 @@ def fresnel_blend_f(rd, rs, ex, ey, wo, wi):
         / jnp.maximum(4.0 * jnp.abs(widotwh) * jnp.maximum(aci, aco), 1e-8)[..., None]
         * schlick_fresnel(rs, widotwh)
     )
-    ok = same_hemisphere(wo, wi) & (wh_len > 1e-9)
+    # no SameHemisphere gate — matches FresnelBlend::f (reflection.cpp:224
+    # -236, all AbsCosTheta); hemisphere classification is the BSDF
+    # level's geometric-normal job
+    ok = wh_len > 1e-9
     return jnp.where(ok[..., None], diffuse + spec, 0.0)
 
 
@@ -314,7 +321,7 @@ def ward_f(ks, ax, ay, wo, wi):
     expo = -((hx / ax) ** 2 + (hy / ay) ** 2) / hz2
     denom = 4.0 * jnp.pi * ax * ay * jnp.sqrt(jnp.maximum(ci * co, 1e-8))
     f = ks * (jnp.exp(expo) / denom)[..., None]
-    ok = same_hemisphere(wo, wi) & (ci * co > 1e-8)
+    ok = ci * co > 1e-8
     return jnp.where(ok[..., None], f, 0.0)
 
 

@@ -94,6 +94,29 @@ class ProjectiveCamera:
         d_w = xf.apply_vector(c2w, d)
         return geom.Ray.make(o_w, d_w, time=time, wavelength=wavelength)
 
+    def ray_differentials(self, px, py, ray):
+        """One-raster-pixel offset differentials for the generated rays
+        (reference: PerspectiveCamera::GenerateRayDifferential,
+        perspective.cpp:99-130 — same lens origin, direction shifted by the
+        precomputed dxCamera/dyCamera; OrthoCamera shifts the origin,
+        orthographic.cpp:63-76). Returns world (rx_o, rx_d, ry_o, ry_d)."""
+        p_ras = jnp.stack([px, py, jnp.zeros_like(px)], axis=-1)
+        p_cam = xf.apply_point(self.raster_to_camera, p_ras)
+        dx = xf.apply_point(
+            self.raster_to_camera, p_ras + jnp.asarray([1.0, 0.0, 0.0])
+        ) - p_cam
+        dy = xf.apply_point(
+            self.raster_to_camera, p_ras + jnp.asarray([0.0, 1.0, 0.0])
+        ) - p_cam
+        c2w = self.cam_to_world.interpolate(ray.time)
+        if self.kind == "orthographic":
+            rx_o = ray.origin + xf.apply_vector(c2w, dx)
+            ry_o = ray.origin + xf.apply_vector(c2w, dy)
+            return rx_o, ray.direction, ry_o, ray.direction
+        rx_d = xf.apply_vector(c2w, geom.normalize(p_cam + dx))
+        ry_d = xf.apply_vector(c2w, geom.normalize(p_cam + dy))
+        return ray.origin, rx_d, ray.origin, ry_d
+
 
 @pytree_dataclass
 class PinholeCamera:

@@ -49,13 +49,21 @@ class SurfaceInteraction:
     dpdv: jnp.ndarray = None  # (R, 3) world units per uv unit
     dndu: jnp.ndarray = None  # (R, 3)
     dndv: jnp.ndarray = None  # (R, 3)
+    # raw per-pixel-axis uv differentials (dudx,dvdx)/(dudy,dvdy) — the
+    # bump chain's du/dv source (reference: DifferentialGeometry dudx..dvdy)
+    duvdx: jnp.ndarray = None  # (R, 2)
+    duvdy: jnp.ndarray = None  # (R, 2)
 
 
 def surface_interaction(
-    g: SceneGeometry, ray: geom.Ray, hit: Hit, spread=None
+    g: SceneGeometry, ray: geom.Ray, hit: Hit, spread=None, diffs=None
 ) -> SurfaceInteraction:
     """``spread``: optional pixel cone half-width per unit distance (scalar
-    or (R,)) used to derive the uv-space texture footprint at the hit."""
+    or (R,)) used to derive the uv-space texture footprint at the hit.
+    ``diffs``: optional exact ray differentials (rx_o, rx_d, ry_o, ry_d)
+    world-space (R, 3) each — plane-projected to (dudx,dvdx)/(dudy,dvdy)
+    exactly like DifferentialGeometry::ComputeDifferentials
+    (diffgeom.cpp:63-100); takes precedence over ``spread``."""
     T = g.num_triangles
     Q = g.num_quadrics
     valid = hit.valid
@@ -177,29 +185,11 @@ def surface_interaction(
             # each instance use carries its own primitive id (reference:
             # TransformedPrimitive primitiveId, primitive.h:40-44)
             mid_t = jnp.where(hit.inst >= 0, g.inst_mesh_id[ii], mid_t)
-        if spread is not None:
-            # ray-cone texture footprint: the cone's circular cross-section
-            # (radius t·spread) projected onto the surface is an ellipse —
-            # minor axis ⊥ the view projection, major stretched by 1/cosθ.
-            # Map both world axes through the triangle's world→uv Jacobian
-            # (barycentric solve via the edge Gram matrix).
+        if spread is not None or diffs is not None:
+            # world→uv Jacobian shared by both footprint modes
+            # (barycentric solve via the edge Gram matrix)
             duv1 = uv1 - uv0
             duv2 = uv2 - uv0
-            w_fp = (jnp.abs(jnp.where(jnp.isfinite(hit.t), hit.t, 0.0))
-                    * spread)
-            perp = jnp.cross(ng_t, wo)
-            pl = jnp.linalg.norm(perp, axis=-1, keepdims=True)
-            perp = jnp.where(pl > 1e-8, perp / jnp.maximum(pl, 1e-20),
-                             dpdu_t)
-            par = geom.normalize(jnp.cross(perp, ng_t))
-            # NO aggressive grazing clamp: the reference's plane-projected
-            # ray differentials stretch as 1/cosθ unboundedly, which is
-            # what flattens bump/texture detail at the horizon (the EWA
-            # lookup separately clamps eccentricity to MAX_ANISOTROPY, so
-            # filtering cost stays bounded). 1e-3 only guards the exact
-            #-parallel singularity.
-            cos_i = jnp.clip(jnp.abs(geom.dot(wo, ng_t)), 1e-3, 1.0)
-
             g11 = geom.dot(e1, e1)
             g12 = geom.dot(e1, e2)
             g22 = geom.dot(e2, e2)
@@ -212,15 +202,59 @@ def surface_interaction(
                 b = (g11 * d2 - g12 * d1) / det
                 return a[:, None] * duv1 + b[:, None] * duv2
 
+        if diffs is not None:
+            # EXACT reference semantics: intersect the offset rays with the
+            # hit's tangent plane, take the world deltas, solve for
+            # (dudx,dvdx)/(dudy,dvdy) (diffgeom.cpp:63-100). Degenerate
+            # (grazing-parallel offset ray, nonfinite) lanes → zero
+            # differentials, i.e. the unfiltered fallback — same as the
+            # reference's !solved path.
+            rx_o, rx_d, ry_o, ry_d = diffs
+            d_pl = geom.dot(ng_t, p)
+
+            def proj_delta(o_, dr):
+                den = geom.dot(ng_t, dr)
+                ok = jnp.abs(den) > 1e-12
+                tpr = (d_pl - geom.dot(ng_t, o_)) / jnp.where(ok, den, 1.0)
+                dp = o_ + tpr[:, None] * dr - p
+                good = (ok & jnp.isfinite(tpr))[:, None]
+                return jnp.where(
+                    good & jnp.isfinite(dp), dp, 0.0
+                )
+
+            ax1 = to_uv(proj_delta(rx_o, rx_d))
+            ax2 = to_uv(proj_delta(ry_o, ry_d))
+            ax1 = jnp.where(jnp.isfinite(ax1), ax1, 0.0)
+            ax2 = jnp.where(jnp.isfinite(ax2), ax2, 0.0)
+        elif spread is not None:
+            # ray-cone approximation (no per-ray differentials available):
+            # the cone's circular cross-section (radius t·spread) projected
+            # onto the surface is an ellipse — minor axis ⊥ the view
+            # projection, major stretched by 1/cosθ. No aggressive grazing
+            # clamp: the reference's plane-projected differentials stretch
+            # unboundedly (the EWA lookup separately clamps eccentricity).
+            w_fp = (jnp.abs(jnp.where(jnp.isfinite(hit.t), hit.t, 0.0))
+                    * spread)
+            perp = jnp.cross(ng_t, wo)
+            pl = jnp.linalg.norm(perp, axis=-1, keepdims=True)
+            perp = jnp.where(pl > 1e-8, perp / jnp.maximum(pl, 1e-20),
+                             dpdu_t)
+            par = geom.normalize(jnp.cross(perp, ng_t))
+            cos_i = jnp.clip(jnp.abs(geom.dot(wo, ng_t)), 1e-3, 1.0)
             ax1 = to_uv(w_fp[:, None] * perp)
             ax2 = to_uv((w_fp / cos_i)[:, None] * par)
+
+        if spread is not None or diffs is not None:
             l1 = jnp.linalg.norm(ax1, axis=-1)
             l2 = jnp.linalg.norm(ax2, axis=-1)
             sigma_t = jnp.minimum(l1, l2)
             major_t = jnp.where((l1 >= l2)[:, None], ax1, ax2)
+            duvdx_t, duvdy_t = ax1, ax2
         else:
             sigma_t = jnp.zeros(valid.shape)
             major_t = jnp.zeros(valid.shape + (2,))
+            duvdx_t = jnp.zeros(valid.shape + (2,))
+            duvdy_t = jnp.zeros(valid.shape + (2,))
 
     if Q > 0:
         qi = jnp.clip(prim_safe - T, 0, Q - 1)
@@ -283,11 +317,14 @@ def surface_interaction(
         # filtering on quadrics is a documented gap)
         uv_sigma = jnp.where(is_tri1, sigma_t, 0.0)
         uv_major = jnp.where(is_tri1[:, None], major_t, 0.0)
+        duvdx = jnp.where(is_tri1[:, None], duvdx_t, 0.0)
+        duvdy = jnp.where(is_tri1[:, None], duvdy_t, 0.0)
     elif T > 0:
         ng, ns, uv, dpdu = ng_t, ns_t, uv_t, dpdu_t
         dpdv, dndu, dndv = dpdv_t, dndu_t, dndv_t
         material, area_light, mesh_id = mat_t, al_t, mid_t
         uv_sigma, uv_major = sigma_t, major_t
+        duvdx, duvdy = duvdx_t, duvdy_t
     else:
         ng, ns, uv, dpdu = n_w, n_w, uv_q, dpdu_q
         dpdv = dpdv_q
@@ -296,6 +333,8 @@ def surface_interaction(
         material, area_light, mesh_id = mat_q, al_q, mid_q
         uv_sigma = jnp.zeros(valid.shape)
         uv_major = jnp.zeros(valid.shape + (2,))
+        duvdx = jnp.zeros(valid.shape + (2,))
+        duvdy = jnp.zeros(valid.shape + (2,))
 
     neg1 = jnp.full(valid.shape, -1, jnp.int32)
     return SurfaceInteraction(
@@ -317,6 +356,8 @@ def surface_interaction(
         dpdv=dpdv,
         dndu=dndu,
         dndv=dndv,
+        duvdx=duvdx,
+        duvdy=duvdy,
     )
 
 

@@ -21,7 +21,13 @@ import jax.numpy as jnp
 from pbrt_tpu.utils import pytree_dataclass
 from pbrt_tpu.core import geometry as geom
 
-ONE_MINUS_EPS = float(jnp.nextafter(jnp.float32(1.0), jnp.float32(0.0)))
+import numpy as _np_host
+
+# computed on the HOST (numpy): a jnp call here would initialize the XLA
+# backend at import time, which breaks jax.distributed.initialize (it must
+# run before any backend touch — multi-host startup imports this module)
+ONE_MINUS_EPS = float(_np_host.nextafter(_np_host.float32(1.0),
+                                         _np_host.float32(0.0)))
 
 # ---------------------------------------------------------------------------
 # Distribution1D / Distribution2D  (reference: montecarlo.h:46-158)

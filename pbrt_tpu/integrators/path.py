@@ -161,7 +161,10 @@ def _nee_one_light(scene: RenderScene, si, lm, wo_local, frame, source, keys,
     ls = lights_mod.sample_li(lt, scene.geometry, light_idx, si.p, u[..., 0], u[..., 1])
     wi_local = bxdf.world_to_local(ls.wi, ss, ts, ns)
     pools = mat_mod.pools_of(scene.materials)
-    f = mat_mod.bsdf_f(lm, wo_local, wi_local, pools)
+    # geometric-normal classification (BSDF::f) — load-bearing under
+    # strong bump/shading-normal tilt
+    ng_loc = bxdf.world_to_local(si.ng, ss, ts, ns)
+    f = mat_mod.bsdf_f(lm, wo_local, wi_local, pools, ng_loc=ng_loc)
     cos_i = geom.absdot(ls.wi, ns)
     candidate = (
         active
@@ -264,22 +267,16 @@ def apply_textures(scene: RenderScene, si, lm):
     if mats.has_bump:
         btid = mats.bump_tex[mi]
         has_b = (btid >= 0) & ~use
-        # per-axis uv offsets from the ray-cone footprint — the analogue of
-        # the reference's du = .5(|dudx|+|dudy|), dv = .5(|dvdx|+|dvdy|)
-        # from ray differentials (material.cpp:46-57), with the same .01
-        # zero-footprint fallback. The cone gives the footprint ellipse's
-        # principal axes; project both onto each uv axis.
-        if si.uv_sigma is not None:
-            maj = si.uv_major
-            ml = jnp.linalg.norm(maj, axis=-1, keepdims=True)
-            perp = jnp.stack([-maj[..., 1], maj[..., 0]], -1) / jnp.maximum(
-                ml, 1e-20
-            )
-            mino = si.uv_sigma[..., None] * perp
-            du = 0.5 * (jnp.abs(maj[..., 0]) + jnp.abs(mino[..., 0]))
-            dv = 0.5 * (jnp.abs(maj[..., 1]) + jnp.abs(mino[..., 1]))
-            du = jnp.where(du > 1e-8, du, 0.01)
-            dv = jnp.where(dv > 1e-8, dv, 0.01)
+        # per-axis uv offsets: du = .5(|dudx|+|dudy|), dv = .5(|dvdx|+|dvdy|)
+        # straight from the per-pixel-axis uv differentials
+        # (material.cpp:46-57), with the same .01 zero-footprint fallback
+        # (secondary bounces carry zero differentials → .01 + unfiltered,
+        # exactly the reference's hasDifferentials=false path).
+        if si.duvdx is not None:
+            du = 0.5 * (jnp.abs(si.duvdx[..., 0]) + jnp.abs(si.duvdy[..., 0]))
+            dv = 0.5 * (jnp.abs(si.duvdx[..., 1]) + jnp.abs(si.duvdy[..., 1]))
+            du = jnp.where(du > 1e-9, du, 0.01)
+            dv = jnp.where(dv > 1e-9, dv, 0.01)
         else:
             du = jnp.full(si.t.shape, 0.01)
             dv = du
@@ -317,12 +314,17 @@ def apply_textures(scene: RenderScene, si, lm):
 
 
 def trace_radiance(scene: RenderScene, rays: geom.Ray, keys,
-                   cfg: IntegratorConfig, uniforms=None):
+                   cfg: IntegratorConfig, uniforms=None, diffs=None):
     """Main entry: (R,) wavefront → (L (R, S), first_hit_t (R,)).
 
     keys: per-path rng key array (R,). ``uniforms``: optional (R, D)
     primary-sample array (Metropolis) — replaces the key-derived uniforms
-    for light/BSDF/RR decisions.
+    for light/BSDF/RR decisions. ``diffs``: optional camera-ray
+    differentials (rx_o, rx_d, ry_o, ry_d) — exact texture footprints on
+    the FIRST hit; later bounces get zero differentials (unfiltered
+    lookups + the 0.01 bump fallback), matching the reference where only
+    camera rays carry differentials (path.cpp spawns plain
+    RayDifferentials with hasDifferentials=false).
     """
     if cfg.kind == "metadata":
         return _metadata_li(scene, rays, cfg)
@@ -413,7 +415,22 @@ def trace_radiance(scene: RenderScene, rays: geom.Ray, keys,
          first_hit_t) = carry
         hit = intersect(scene.geometry, ray)
         si = surface_interaction(scene.geometry, ray, hit,
-                                 spread=_spread_of(scene))
+                                 spread=_spread_of(scene), diffs=diffs)
+        if diffs is not None:
+            # differentials are only valid against the CAMERA rays —
+            # zero the footprint on every later bounce (reference:
+            # secondary rays carry hasDifferentials=false)
+            import dataclasses as _dcl
+
+            primary = jnp.equal(bounce, 0)
+            p2 = primary[..., None]
+            si = _dcl.replace(
+                si,
+                uv_sigma=jnp.where(primary, si.uv_sigma, 0.0),
+                uv_major=jnp.where(p2, si.uv_major, 0.0),
+                duvdx=jnp.where(p2, si.duvdx, 0.0),
+                duvdy=jnp.where(p2, si.duvdy, 0.0),
+            )
         first_hit_t = jnp.where(
             bounce == 0, jnp.where(si.valid, hit.t, 0.0), first_hit_t
         )
@@ -487,6 +504,7 @@ def trace_radiance(scene: RenderScene, rays: geom.Ray, keys,
         wi_local, f, pdf, is_delta = mat_mod.bsdf_sample(
             lm, wo_local, ub[..., 0], ub[..., 1], ub[..., 2],
             mat_mod.pools_of(scene.materials),
+            ng_loc=bxdf.world_to_local(si.ng, ss, ts, si.ns),
         )
         wi_world = bxdf.local_to_world(wi_local, ss, ts, si.ns)
         cos_i = geom.absdot(wi_world, si.ns)

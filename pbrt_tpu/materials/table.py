@@ -234,11 +234,19 @@ def _gather_plain(mt: MaterialTable, i) -> LaneMaterial:
 # ---------------------------------------------------------------------------
 
 
-def _lobe_f(lobe, lm: LaneMaterial, wo, wi, pools=None):
+def _lobe_f(lobe, lm: LaneMaterial, wo, wi, pools=None, hemi=None):
     """f of one lobe code, per-lane. Delta lobes → 0. ``pools`` carries the
-    measured-BRDF arrays unmapped through vmap."""
+    measured-BRDF arrays unmapped through vmap.
+
+    ``hemi``: the BSDF-level reflection/transmission classification
+    (reference: BSDF::f, reflection.cpp:517-529 — reflection lobes apply
+    iff Dot(wiW, ng)·Dot(woW, ng) > 0 against the GEOMETRIC normal, while
+    the lobes themselves evaluate hemisphere-agnostic via AbsCosTheta).
+    None → fall back to the shading-frame hemisphere (ng ≈ ns callers)."""
     s = lm.kd.shape[-1]
     zero = jnp.zeros(wo.shape[:-1] + (s,), wo.dtype)
+    refl_ok = bxdf.same_hemisphere(wo, wi) if hemi is None else hemi
+    trans_ok = ~refl_ok
 
     def irreg():
         from pbrt_tpu.bsdf import measured as meas
@@ -247,48 +255,49 @@ def _lobe_f(lobe, lm: LaneMaterial, wo, wi, pools=None):
         f_val = meas.irreg_f_one(
             pts, spectra, lm.irreg_offset, lm.irreg_count, wo, wi
         )
-        return jnp.where(bxdf.same_hemisphere(wo, wi), f_val, 0.0)
+        return jnp.where(refl_ok, f_val, 0.0)
 
     def merl():
         from pbrt_tpu.bsdf import measured as meas
 
         _, _, merl_rgb = pools
         f_val = meas.merl_f_one(merl_rgb, jnp.maximum(lm.merl_offset, 0), wo, wi, None)
-        return jnp.where(bxdf.same_hemisphere(wo, wi), f_val, 0.0)
+        return jnp.where(refl_ok, f_val, 0.0)
 
     def lamb():
-        return bxdf.lambertian_f(lm.kd, wo, wi) * bxdf.same_hemisphere(wo, wi)[..., None]
+        return bxdf.lambertian_f(lm.kd, wo, wi) * refl_ok[..., None]
 
     def oren():
-        return bxdf.oren_nayar_f(lm.kd, lm.sigma, wo, wi) * bxdf.same_hemisphere(wo, wi)[..., None]
+        return bxdf.oren_nayar_f(lm.kd, lm.sigma, wo, wi) * refl_ok[..., None]
 
     def blinn_diel():
         wh = geom.normalize(wo + wi)
         f_val = bxdf.fresnel_dielectric(geom.dot(wi, wh), 1.0, lm.eta)[..., None]
-        return bxdf.microfacet_f(lm.ks, f_val, lm.exp_u, wo, wi)
+        return bxdf.microfacet_f(lm.ks, f_val, lm.exp_u, wo, wi) * refl_ok[..., None]
 
     def blinn_cond():
         wh = geom.normalize(wo + wi)
         f_val = bxdf.fresnel_conductor(geom.dot(wi, wh), lm.eta_spec, lm.k_spec)
-        return bxdf.microfacet_f(lm.ks, f_val, lm.exp_u, wo, wi)
+        return bxdf.microfacet_f(lm.ks, f_val, lm.exp_u, wo, wi) * refl_ok[..., None]
 
     def fres_blend():
-        return bxdf.fresnel_blend_f(lm.kd, lm.ks, lm.exp_u, lm.exp_v, wo, wi)
+        return (
+            bxdf.fresnel_blend_f(lm.kd, lm.ks, lm.exp_u, lm.exp_v, wo, wi)
+            * refl_ok[..., None]
+        )
 
     def ward():
-        return bxdf.ward_f(lm.ks, lm.exp_u, lm.exp_v, wo, wi)
+        return bxdf.ward_f(lm.ks, lm.exp_u, lm.exp_v, wo, wi) * refl_ok[..., None]
 
     def lamb_trans():
-        opposite = ~bxdf.same_hemisphere(wo, wi)
-        return bxdf.lambertian_f(lm.kt, wo, wi) * opposite[..., None]
+        return bxdf.lambertian_f(lm.kt, wo, wi) * trans_ok[..., None]
 
     def blinn_trans():
         # translucent glossy transmission: evaluate with wi flipped
         wif = wi * jnp.asarray([1.0, 1.0, -1.0])
         wh = geom.normalize(wo + wif)
         f_val = bxdf.fresnel_dielectric(geom.dot(wif, wh), 1.0, lm.eta)[..., None]
-        opposite = ~bxdf.same_hemisphere(wo, wi)
-        return bxdf.microfacet_f(lm.kr, f_val, lm.exp_u, wo, wif) * opposite[..., None]
+        return bxdf.microfacet_f(lm.kr, f_val, lm.exp_u, wo, wif) * trans_ok[..., None]
 
     def delta():
         return zero
@@ -433,14 +442,19 @@ def _lobe_sample(lobe, lm: LaneMaterial, wo, u1, u2):
 # ---------------------------------------------------------------------------
 
 
-def _bsdf_f_one(lm: LaneMaterial, wo, wi, pools=None):
-    """Per-lane Σ over the material's lobes. Local frame, wo/wi (3,)."""
+def _bsdf_f_one(lm: LaneMaterial, wo, wi, pools=None, ng_loc=None):
+    """Per-lane Σ over the material's lobes. Local frame, wo/wi (3,).
+    ``ng_loc``: geometric normal in the shading frame — drives the
+    reflection/transmission classification (BSDF::f)."""
     s = lm.kd.shape[-1]
+    hemi = None
+    if ng_loc is not None:
+        hemi = (jnp.sum(wo * ng_loc, -1) * jnp.sum(wi * ng_loc, -1)) > 0.0
     f = jnp.zeros((s,), wo.dtype)
     for slot in range(min(MAX_LOBES, lm.max_lobes)):
         active = slot < lm.n_lobes
         lobe = jnp.maximum(lm.lobe_type[slot], 0)
-        f = f + jnp.where(active, _lobe_f(lobe, lm, wo, wi, pools), 0.0)
+        f = f + jnp.where(active, _lobe_f(lobe, lm, wo, wi, pools, hemi), 0.0)
     return f
 
 
@@ -453,13 +467,17 @@ def _bsdf_pdf_one(lm: LaneMaterial, wo, wi):
     return pdf / jnp.maximum(lm.n_lobes.astype(wo.dtype), 1.0)
 
 
-def _bsdf_sample_one(lm: LaneMaterial, wo, u_lobe, u1, u2, pools=None):
+def _bsdf_sample_one(lm: LaneMaterial, wo, u_lobe, u1, u2, pools=None,
+                     ng_loc=None):
     n = jnp.maximum(lm.n_lobes, 1)
     slot = jnp.minimum((u_lobe * n.astype(u_lobe.dtype)).astype(jnp.int32), n - 1)
     lobe = jnp.maximum(lm.lobe_type[slot], 0)
     wi, pdf_s, f_delta, is_delta = _lobe_sample(lobe, lm, wo, u1, u2)
     nf = n.astype(wo.dtype)
-    f_smooth = _bsdf_f_one(lm, wo, wi, pools)
+    # non-delta: recompute f over ALL lobes with the geometric
+    # classification (Sample_f's non-specular path, reflection.cpp:576-597;
+    # specular keeps the sampled lobe's f unclassified, as the reference)
+    f_smooth = _bsdf_f_one(lm, wo, wi, pools, ng_loc)
     pdf_smooth = _bsdf_pdf_one(lm, wo, wi)
     f = jnp.where(is_delta, f_delta, f_smooth)
     pdf = jnp.where(is_delta, pdf_s / nf, pdf_smooth)
@@ -471,15 +489,24 @@ def pools_of(mt: MaterialTable):
     return (mt.irreg_points, mt.irreg_spectra, mt.merl_rgb)
 
 
-def bsdf_f(lm, wo, wi, pools=None):
+def bsdf_f(lm, wo, wi, pools=None, ng_loc=None):
     """Batched Σ over the material's lobes (R, S). Local frame.
     (reference: BSDF::f, core/reflection.cpp:517-529). For MixLane:
-    amount·f(m1) + (1−amount)·f(m2) (reference: materials/mix.cpp)."""
+    amount·f(m1) + (1−amount)·f(m2) (reference: materials/mix.cpp).
+    ``ng_loc``: (R, 3) geometric normal in the shading frame — enables the
+    reference's geometric reflection/transmission classification (None →
+    shading-hemisphere fallback, exact when ng == ns)."""
     if isinstance(lm, MixLane):
-        f1 = bsdf_f(lm.lm1, wo, wi, pools)
-        f2 = bsdf_f(lm.lm2, wo, wi, pools)
+        f1 = bsdf_f(lm.lm1, wo, wi, pools, ng_loc)
+        f2 = bsdf_f(lm.lm2, wo, wi, pools, ng_loc)
         return lm.amt * f1 + (1.0 - lm.amt) * f2
-    return jax.vmap(_bsdf_f_one, in_axes=(0, 0, 0, None))(lm, wo, wi, pools)
+    if ng_loc is None:
+        return jax.vmap(_bsdf_f_one, in_axes=(0, 0, 0, None))(
+            lm, wo, wi, pools
+        )
+    return jax.vmap(_bsdf_f_one, in_axes=(0, 0, 0, None, 0))(
+        lm, wo, wi, pools, ng_loc
+    )
 
 
 def bsdf_pdf(lm, wo, wi):
@@ -493,7 +520,7 @@ def bsdf_pdf(lm, wo, wi):
     return jax.vmap(_bsdf_pdf_one)(lm, wo, wi)
 
 
-def bsdf_sample(lm, wo, u_lobe, u1, u2, pools=None):
+def bsdf_sample(lm, wo, u_lobe, u1, u2, pools=None, ng_loc=None):
     """pbrt BSDF::Sample_f: uniformly pick a lobe, sample it; for non-delta
     lobes re-evaluate f and pdf over ALL lobes
     (reference: core/reflection.cpp:531-600). Returns (wi, f, pdf, is_delta).
@@ -508,14 +535,16 @@ def bsdf_sample(lm, wo, u_lobe, u1, u2, pools=None):
         u_re = jnp.where(
             same, u_lobe, jnp.where(chose1, u_lobe * 2.0, u_lobe * 2.0 - 1.0)
         )
-        wi1, f1s, p1s, d1 = bsdf_sample(lm.lm1, wo, u_re, u1, u2, pools)
-        wi2, f2s, p2s, d2 = bsdf_sample(lm.lm2, wo, u_re, u1, u2, pools)
+        wi1, f1s, p1s, d1 = bsdf_sample(lm.lm1, wo, u_re, u1, u2, pools,
+                                        ng_loc)
+        wi2, f2s, p2s, d2 = bsdf_sample(lm.lm2, wo, u_re, u1, u2, pools,
+                                        ng_loc)
         wi = jnp.where(chose1[..., None], wi1, wi2)
         is_delta = jnp.where(chose1, d1, d2)
         # smooth case: full blended f/pdf at the chosen direction
-        f_sm = lm.amt * bsdf_f(lm.lm1, wo, wi, pools) + (
+        f_sm = lm.amt * bsdf_f(lm.lm1, wo, wi, pools, ng_loc) + (
             1.0 - lm.amt
-        ) * bsdf_f(lm.lm2, wo, wi, pools)
+        ) * bsdf_f(lm.lm2, wo, wi, pools, ng_loc)
         p_sm_1 = bsdf_pdf(lm.lm1, wo, wi)
         p_sm_2 = bsdf_pdf(lm.lm2, wo, wi)
         p_sm = jnp.where(same, p_sm_1, 0.5 * (p_sm_1 + p_sm_2))
@@ -529,8 +558,12 @@ def bsdf_sample(lm, wo, u_lobe, u1, u2, pools=None):
         f = jnp.where(is_delta[..., None], f_d, f_sm)
         pdf = jnp.where(is_delta, p_d, p_sm)
         return wi, f, pdf, is_delta
-    return jax.vmap(_bsdf_sample_one, in_axes=(0, 0, 0, 0, 0, None))(
-        lm, wo, u_lobe, u1, u2, pools
+    if ng_loc is None:
+        return jax.vmap(_bsdf_sample_one, in_axes=(0, 0, 0, 0, 0, None))(
+            lm, wo, u_lobe, u1, u2, pools
+        )
+    return jax.vmap(_bsdf_sample_one, in_axes=(0, 0, 0, 0, 0, None, 0))(
+        lm, wo, u_lobe, u1, u2, pools, ng_loc
     )
 
 

@@ -108,6 +108,8 @@ def render_wave(
     sample_scale=None,  # (R,) adaptive supersampling mask
     want_stats: bool = False,
     sorted_pixels: bool = False,
+    diff_scale: float | None = None,  # ray-differential scale; None →
+    #   1/sqrt(spp) (reference ScaleDifferentials, samplerrenderer.cpp:91)
 ):
     """One sample wave for one pixel chunk. Pure; jit at call site.
 
@@ -128,7 +130,19 @@ def render_wave(
     px = pixel_x.astype(jnp.float32) + iu
     py = pixel_y.astype(jnp.float32) + iv
     rays = camera.generate_rays(px, py, lu, lv, tu, keys=keys)
-    L, first_t = trace_radiance(scene, rays, keys, icfg)
+    diffs = None
+    if hasattr(camera, "ray_differentials"):
+        rx_o, rx_d, ry_o, ry_d = camera.ray_differentials(px, py, rays)
+        s = (1.0 / float(np.sqrt(max(spp, 1)))
+             if diff_scale is None else float(diff_scale))
+        if s != 1.0:
+            o0, d0 = rays.origin, rays.direction
+            rx_o = o0 + (rx_o - o0) * s
+            ry_o = o0 + (ry_o - o0) * s
+            rx_d = d0 + (rx_d - d0) * s
+            ry_d = d0 + (ry_d - d0) * s
+        diffs = (rx_o, rx_d, ry_o, ry_d)
+    L, first_t = trace_radiance(scene, rays, keys, icfg, diffs=diffs)
     # NaN/negative/inf clamps (reference: samplerrenderer.cpp:119-133)
     bad = jnp.isnan(L) | (L < 0.0) | jnp.isinf(L)
     L = jnp.where(bad, 0.0, L)
@@ -190,7 +204,9 @@ def _render_wave_jit(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("icfg", "sampler_name", "spp", "film_cfg", "n_waves"),
+    static_argnames=(
+        "icfg", "sampler_name", "spp", "film_cfg", "n_waves", "diff_scale"
+    ),
 )
 def _render_scan_jit(
     film_state, scene, camera, filter_table,
@@ -199,6 +215,7 @@ def _render_scan_jit(
     mask_stack,  # (C, chunk) f32 1 for live lanes, 0 for padding
     sample_base,  # scalar i32 first sample index
     root_key, icfg, sampler_name, spp, film_cfg, n_waves,
+    diff_scale=None,
 ):
     """``n_waves`` sample waves × all pixel chunks in ONE dispatch.
 
@@ -220,6 +237,7 @@ def _render_scan_jit(
             state, scene, camera, filter_table, xs_stack[ci], ys_stack[ci],
             s, root_key, icfg, sampler_name, spp, film_cfg,
             sample_scale=mask_stack[ci], sorted_pixels=True,
+            diff_scale=diff_scale,
         )
         return state, None
 
@@ -251,8 +269,11 @@ def render(built, spp=None, seed: int = 0, chunk_pixels: int | None = None,
         spp = 1
     # reference semantics: per-sample ray differentials cover 1/sqrt(spp)
     # of the pixel spacing — the texture footprint (and therefore mip level
-    # and bump-offset du/dv) shrinks as spp grows
+    # and bump-offset du/dv) shrinks as spp grows. diff_scale drives the
+    # exact per-ray differentials; the pixel_spread scaling covers the
+    # cone-footprint fallback (cameras without ray_differentials).
     dspp = diff_spp if diff_spp is not None else spp
+    diff_scale = 1.0 / float(np.sqrt(max(dspp, 1)))
     if built.scene.pixel_spread > 0.0 and dspp > 1:
         import dataclasses as _dc
 
@@ -321,6 +342,7 @@ def render(built, spp=None, seed: int = 0, chunk_pixels: int | None = None,
             film_state, built.scene, built.camera, table,
             xs_stack, ys_stack, mask_stack, jnp.int32(s), root,
             icfg, built.sampler_name, spp, cfg, n_waves,
+            diff_scale=diff_scale,
         )
         s += n_waves
         if verbose:
