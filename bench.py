@@ -15,8 +15,12 @@ import sys
 import time
 
 # Previous-round local baseline (camera paths/sec/chip), so vs_baseline
-# tracks round-over-round progress. r1: 3,006; r2: 202,556; r3: 184,000.
-BASELINE_LOCAL = 202556.0
+# tracks round-over-round progress.
+# r1: 3,006; r2: 202,556; r3: 184,000; r4: 671,125.
+BASELINE_LOCAL = 671125.0
+
+# chip HBM peak for the absolute-efficiency field (v5e ≈ 819 GB/s)
+HBM_PEAK_GBPS = 819.0
 
 KILLEROO = "/root/reference/scenes/killeroo-simple.pbrt"
 
@@ -111,6 +115,11 @@ def main():
                 "value": round(paths_per_sec, 1),
                 "unit": "paths/s",
                 "vs_baseline": round(paths_per_sec / BASELINE_LOCAL, 3),
+                # absolute efficiency trend, not just round ratios
+                # (VERDICT r4 #7): achieved gather bandwidth / HBM peak
+                "pct_hbm_peak": round(
+                    100.0 * stats["est_achieved_GBps"] / HBM_PEAK_GBPS, 2
+                ),
             }
         )
     )

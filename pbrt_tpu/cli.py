@@ -35,6 +35,10 @@ def main(argv=None):
     ap.add_argument("--process-id", type=int, default=None)
     args = ap.parse_args(argv)
 
+    from pbrt_tpu.utils import error as err
+
+    err.set_options(quiet=args.quiet, verbose=args.verbose)
+
     if args.distributed is not None:
         from pbrt_tpu.parallel.shard import init_distributed
 

@@ -83,6 +83,9 @@ def surface_interaction(
             wo=wo, material=neg1, area_light=neg1, mesh_id=neg1,
             prim=hit.prim, ray_epsilon=jnp.zeros((R,)),
             uv_sigma=jnp.zeros((R,)), uv_major=jnp.zeros((R, 2)),
+            dpdv=jnp.broadcast_to(jnp.asarray([0.0, 1.0, 0.0]), (R, 3)),
+            dndu=z3, dndv=z3,
+            duvdx=jnp.zeros((R, 2)), duvdy=jnp.zeros((R, 2)),
         )
 
     if T > 0:

@@ -412,7 +412,7 @@ def trace_radiance(scene: RenderScene, rays: geom.Ray, keys,
         """One full bounce: intersect → accumulate → NEE → BSDF → RR → spawn.
         ``bounce`` is traced, so the loop compiles once."""
         (ray, L, throughput, alive, specular_bounce, prev_bsdf_pdf,
-         first_hit_t) = carry
+         first_hit_t, gather_only) = carry
         hit = intersect(scene.geometry, ray)
         si = surface_interaction(scene.geometry, ray, hit,
                                  spread=_spread_of(scene), diffs=diffs)
@@ -437,7 +437,10 @@ def trace_radiance(scene: RenderScene, rays: geom.Ray, keys,
         L = accumulate_hit(
             L, ray, hit, si, throughput, alive, specular_bounce, prev_bsdf_pdf
         )
-        alive = alive & si.valid
+        # gather-only lanes (EstimateDirect's BSDF-sampling half for the
+        # direct-style integrators) exist solely to collect Le along the
+        # sampled direction above — they terminate here
+        alive = alive & si.valid & ~gather_only
 
         # --- shading frame + lane materials ------------------------------
         lm = mat_mod.gather_lane(scene.materials, si.material)
@@ -489,13 +492,16 @@ def trace_radiance(scene: RenderScene, rays: geom.Ray, keys,
                 scene.subsurface, scene.materials, si.p, si.material
             )
             cos_o = bxdf.abs_cos_theta(wo_local)
-            ft = 1.0 - bxdf.fresnel_dielectric(
-                cos_o, 1.0, scene.materials.eta[jnp.maximum(si.material, 0)]
-            )
-            scale_ss = scene.materials.ss_scale[jnp.maximum(si.material, 0)]
+            eta_ss = scene.materials.eta[jnp.maximum(si.material, 0)]
+            ft = 1.0 - bxdf.fresnel_dielectric(cos_o, 1.0, eta_ss)
+            # Fdt = 1 − Fdr(η): the diffuse transmittance factor
+            # (dipolesubsurface.cpp:290 `float Fdt = 1.f - Fdr(eta)`)
+            fdr = (-1.440 / (eta_ss * eta_ss) + 0.710 / eta_ss + 0.668
+                   + 0.0636 * eta_ss)
+            fdt = 1.0 - fdr
             L = L + jnp.where(
                 is_ss[..., None],
-                throughput * mo * (ft * scale_ss / jnp.pi)[..., None],
+                throughput * mo * (ft * fdt / jnp.pi)[..., None],
                 0.0,
             )
 
@@ -509,18 +515,25 @@ def trace_radiance(scene: RenderScene, rays: geom.Ray, keys,
         wi_world = bxdf.local_to_world(wi_local, ss, ts, si.ns)
         cos_i = geom.absdot(wi_world, si.ns)
         ok = alive & (pdf > 0.0) & jnp.any(f > 0.0, axis=-1)
+        gather_next = jnp.zeros_like(ok)
         if cfg.kind in ("directlighting", "whitted", "dipolesubsurface",
                         "igi", "photonmap"):
             # only specular recursion continues (reference:
-            # directlighting.cpp Li → SpecularReflect/Transmit)
+            # directlighting.cpp Li → SpecularReflect/Transmit) — but the
+            # non-delta BSDF sample is NOT discarded: EstimateDirect's
+            # second half (integrator.cpp:145-180) shoots it and adds
+            # Le·f·cos/pdf with MIS if it reaches a light. whitted has no
+            # MIS half (whitted.cpp samples lights only).
+            if cfg.kind != "whitted":
+                gather_next = ok & ~is_delta
             ok = ok & is_delta
         throughput = jnp.where(
-            ok[..., None],
+            (ok | gather_next)[..., None],
             throughput * f * (cos_i / jnp.maximum(pdf, 1e-12))[..., None],
             throughput,
         )
-        alive = ok
-        specular_bounce = is_delta
+        alive = ok | gather_next
+        specular_bounce = is_delta & ok
         prev_bsdf_pdf = pdf
 
         # --- Russian roulette (reference: path.cpp:95-100) ----------------
@@ -548,7 +561,7 @@ def trace_radiance(scene: RenderScene, rays: geom.Ray, keys,
             wavelength=ray.wavelength,
         )
         return (ray, L, throughput, alive, specular_bounce, prev_bsdf_pdf,
-                first_hit_t)
+                first_hit_t, gather_next)
 
     # lens cameras mark vignetted/dead rays with a zero direction
     # (reference: GenerateRay returning weight 0, realisticDiffraction.cpp)
@@ -561,9 +574,11 @@ def trace_radiance(scene: RenderScene, rays: geom.Ray, keys,
         jnp.ones((R,), bool),  # camera rays count as "specular prev"
         jnp.ones((R,), jnp.float32),
         jnp.zeros((R,), jnp.float32),
+        jnp.zeros((R,), bool),  # gather_only
     )
     carry = jax.lax.fori_loop(0, cfg.max_depth, bounce_body, init)
-    (ray, L, throughput, alive, specular_bounce, prev_bsdf_pdf, first_hit_t) = carry
+    (ray, L, throughput, alive, specular_bounce, prev_bsdf_pdf, first_hit_t,
+     _gather) = carry
     # final tail: one more intersect purely to collect Le on the last segment
     hit = intersect(scene.geometry, ray)
     si = surface_interaction(scene.geometry, ray, hit,

@@ -800,6 +800,11 @@ def build_material_table(records, config, texture_index=None) -> MaterialTable:
                 ss_sigma_s[i] = p.find_one_spectrum(
                     "sigma_prime_s", np.asarray(sps_def)
                 )
+            # "scale" multiplies the σ coefficients (subsurface.cpp:64-65
+            # `BSSRDF(scale*sigma_a, scale*sigma_prime_s, e)`), it is NOT
+            # an Li gain
+            ss_sigma_a[i] *= ss_scale[i]
+            ss_sigma_s[i] *= ss_scale[i]
             kr[i] = p.find_one_spectrum("Kr", 1.0)
             if kr[i].any():
                 lobes.append(L_SPEC_REFL_DIEL)

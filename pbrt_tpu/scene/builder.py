@@ -13,7 +13,8 @@ BVH is built over everything and shipped to the device as SoA arrays.
 from __future__ import annotations
 
 import dataclasses
-import warnings
+
+from pbrt_tpu.utils import error as err
 
 import jax.numpy as jnp
 import numpy as np
@@ -318,7 +319,7 @@ def build(desc: SceneDescription) -> BuiltScene:
                 )
         elif rec.shape_type in _QUADRIC_TYPES:
             if animated:
-                warnings.warn(
+                err.warning(
                     f"animated quadric {rec.shape_type!r}: motion blur is "
                     "supported for meshes only; using the start transform"
                 )
@@ -340,7 +341,7 @@ def build(desc: SceneDescription) -> BuiltScene:
             if al_id >= 0:
                 area_lights.append(dict(rec=rec, kind="quad", quad_idx=qi))
         else:
-            warnings.warn(f"shape {rec.shape_type!r} not supported yet; skipped")
+            err.warning(f"shape {rec.shape_type!r} not supported yet; skipped")
             if al_id >= 0:
                 area_lights.append(None)  # keep ids aligned
 
@@ -641,7 +642,7 @@ def build(desc: SceneDescription) -> BuiltScene:
                 nm = m.params.find_one_string(pname, "")
                 sub = named_mats.get(nm)
                 if sub is None or sub is m:
-                    warnings.warn(
+                    err.warning(
                         f"mix material: named material {nm!r} not found"
                     )
                     rows.append(self_row)
@@ -791,7 +792,7 @@ def build(desc: SceneDescription) -> BuiltScene:
                 ),
             )
         else:
-            warnings.warn("useprobes without a probe file; falling back to "
+            err.warning("useprobes without a probe file; falling back to "
                           "irradiancecache behavior")
             integrator = dataclasses.replace(integrator, kind="irradiancecache")
 
@@ -939,7 +940,7 @@ def _build_lights(desc, area_lights, world_lo, world_hi, cfg):
                     )
                     emit = np.ones(cfg.n_bins, np.float32)
                 except Exception as e:  # missing codec etc.
-                    warnings.warn(f"infinite light map {mapname!r}: {e}; using constant")
+                    err.warning(f"infinite light map {mapname!r}: {e}; using constant")
             if emit is None:
                 emit = np.asarray(
                     spec_mod.from_rgb(
@@ -965,7 +966,7 @@ def _build_lights(desc, area_lights, world_lo, world_hi, cfg):
                         spec_mod.from_rgb(jnp.asarray(rgb), "illuminant", cfg)
                     )
                 except Exception as e:
-                    warnings.warn(f"light map {mapname!r}: {e}; using constant")
+                    err.warning(f"light map {mapname!r}: {e}; using constant")
             if img is None:
                 img = np.ones((1, 1, S), np.float32)
             if t == "projection":
@@ -988,7 +989,7 @@ def _build_lights(desc, area_lights, world_lo, world_hi, cfg):
                     dict(type=lt_mod.GONIO, emit=I, pos=pos, l2w=l2w, lmap=img)
                 )
         else:
-            warnings.warn(f"light {t!r} not supported yet; skipped")
+            err.warning(f"light {t!r} not supported yet; skipped")
 
     for al in area_lights:
         if al is None:

@@ -218,7 +218,9 @@ class ParamSet:
         """(reference: ParamSet::ReportUnused, api.cpp:369 et al.)"""
         for name in self.entries:
             if name not in self._used:
-                warnings.warn(f"unused parameter {name!r} {where}", stacklevel=2)
+                from pbrt_tpu.utils import error as err
+
+                err.warning(f"unused parameter {name!r} {where}")
 
     def __repr__(self):
         return f"ParamSet({self.entries})"

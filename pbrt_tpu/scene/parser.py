@@ -11,6 +11,7 @@ from __future__ import annotations
 import os
 
 from pbrt_tpu.scene.lexer import Token, tokenize, tokenize_string
+from pbrt_tpu.utils import error as err
 from pbrt_tpu.scene.paramset import ParamSet
 
 # known parameter type names (reference: paramset + pbrtparse.cpp:2400-2520)
@@ -139,6 +140,9 @@ def parse_tokens(token_iter, api, search_dir: str):
             raise SyntaxError(
                 f"{t.filename}:{t.line}: expected directive, got {t.value!r}"
             )
+        # keep the error subsystem's "file(line): " prefix current
+        # (reference: current_file/line_num extern in error.cpp:63-66)
+        err.set_parse_position(t.filename, t.line)
         name = t.value
         if name in _FLOAT_DIRECTIVES:
             n = _FLOAT_DIRECTIVES[name]
@@ -195,7 +199,10 @@ def parse_file(path: str, api):
     """ParseFile equivalent (reference: core/parser.cpp)."""
     search_dir = os.path.dirname(os.path.abspath(path))
     api.set_search_directory(search_dir)
-    parse_tokens(tokenize(path), api, search_dir)
+    try:
+        parse_tokens(tokenize(path), api, search_dir)
+    finally:
+        err.set_parse_position()  # post-parse messages carry no file(line)
 
 
 def parse_string(text: str, api, search_dir: str = "."):

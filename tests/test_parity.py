@@ -35,12 +35,31 @@ GOLDENS = os.path.join(REPO, "goldens")
 # dividing each side by its spp], per-bin mean tolerance, min spatial corr,
 # median bright-pixel rel-err). Tolerances documented per scene:
 # direct-lighting scenes are tight; path/glossy get slack for MC variance.
+# metal: measured max per-bin error 1.7% at spp=4 after the r5 bump /
+# ray-differential / geometric-classification fixes — tol 0.05 ≈ 3×.
+# ss-envmap: dipole BSSRDF vs the 128² golden (BASELINE config #4).
 CONFIGS = {
     "killeroo-simple": dict(ref_spp=8, spp=8, mean_tol=0.04, corr=0.97, med=0.08),
-    "metal": dict(ref_spp=16, spp=4, mean_tol=0.08, corr=0.90, med=0.30),
+    "metal": dict(ref_spp=16, spp=4, mean_tol=0.05, corr=0.90, med=0.30),
     "bunny": dict(ref_spp=8, spp=2, mean_tol=0.06, corr=0.92, med=0.20),
     "anim-killeroos-moving": dict(ref_spp=8, spp=2, mean_tol=0.06, corr=0.92, med=0.20),
+    "ss-envmap": dict(ref_spp=4, spp=2, mean_tol=0.10, corr=0.90, med=0.30),
 }
+
+# PBRT_TPU_PARITY_FAST=1: quarter the sample count and loosen tolerances so
+# the whole file fits a 2-core CPU box in one sitting (VERDICT r4 weak #8);
+# the full-tolerance run is the canonical gate.
+PARITY_FAST = os.environ.get("PBRT_TPU_PARITY_FAST", "") == "1"
+
+
+def _cfg(scene):
+    cfg = dict(CONFIGS[scene])
+    if PARITY_FAST:
+        cfg["spp"] = max(1, cfg["spp"] // 4)
+        cfg["mean_tol"] *= 1.75
+        cfg["med"] *= 1.5
+        cfg["corr"] -= 0.04
+    return cfg
 
 
 def _golden(scene):
@@ -66,14 +85,17 @@ def _golden(scene):
     return data
 
 
-def _render(scene, spp):
+def _render(scene, spp, diff_spp):
     from pbrt_tpu.renderers.sampler import render
     from pbrt_tpu.scene.api import load_scene
     from pbrt_tpu.scene.builder import build
 
     desc = load_scene(os.path.join(GOLDENS, f"{scene}.pbrt"))
     built = build(desc)
-    state = render(built, spp=spp, verbose=False)
+    # diff_spp = the GOLDEN's spp: texture-footprint/bump filter widths
+    # must match the reference render being compared against
+    # (ScaleDifferentials is spp-dependent)
+    state = render(built, spp=spp, verbose=False, diff_spp=diff_spp)
     return np.asarray(state.pixels, np.float64) + np.asarray(
         state.splat, np.float64
     )
@@ -87,9 +109,9 @@ def _downsample(img, f=4):
 
 
 def _check_parity(scene):
-    cfg = CONFIGS[scene]
+    cfg = _cfg(scene)
     ref = _golden(scene) / cfg["ref_spp"]
-    ours = _render(scene, cfg["spp"]) / cfg["spp"]
+    ours = _render(scene, cfg["spp"], cfg["ref_spp"]) / cfg["spp"]
     assert ours.shape == ref.shape, (ours.shape, ref.shape)
 
     # 1. per-bin image means (catches spectral tilt)
@@ -124,17 +146,10 @@ def test_parity_killeroo_simple():
 
 
 @pytest.mark.slow
-@pytest.mark.xfail(
-    strict=False,
-    reason="r4 diagnosis: per-bin means off (blue +21%/red -2% after bump "
-    "landed; was -25% blue with bump missing entirely). Localized to the "
-    "DISTANT GRAZING bump-mapped substrate floor (image rows <96 at ratio "
-    "~0.5; teapot/near floor ~1.0). Remaining suspects: dpdv synthesis in "
-    "the bump path (cross(ns,dpdu)·|dpdu| approximation) and the substrate "
-    "FresnelBlend at grazing incidence under the filtered lines.exr. "
-    "killeroo/bunny/anim parity pass; see PERF.md r4 notes.",
-)
 def test_parity_metal():
+    # r5: xfail removed — the exact Material::Bump chain, exact camera ray
+    # differentials (incl. 1/sqrt(spp) scaling) and the geometric-normal
+    # BSDF classification brought per-bin means within 1.7% of the golden.
     _check_parity("metal")
 
 
@@ -146,3 +161,10 @@ def test_parity_bunny():
 @pytest.mark.slow
 def test_parity_anim_killeroos():
     _check_parity("anim-killeroos-moving")
+
+
+@pytest.mark.slow
+def test_parity_ss_envmap():
+    # BASELINE config #4: infinite-area env light + dipole subsurface
+    # BSSRDF (reference: integrators/dipolesubsurface.cpp:189-210)
+    _check_parity("ss-envmap")
