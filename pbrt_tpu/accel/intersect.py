@@ -804,18 +804,25 @@ def _traverse_wide_batch(g: SceneGeometry, o, d, tmin, tmax, any_hit: bool,
         jnp.zeros((R,), jnp.int32),          # n_stack
         qt, qp, qb1, qb2,
         jnp.ones((R,), bool),                # alive
-    )
+    ) + (() if isinstance(any_hit, bool) else (any_hit,))
 
     def active_of(s):
         alive, prim_best = s[7], s[4]
-        if any_hit:
-            alive = alive & (prim_best < 0)
+        # any_hit may be a static bool OR a per-lane (R,) mask carried in
+        # the state (s[8]) — the merged shadow+closest batch runs both
+        # kinds in one traversal
+        if isinstance(any_hit, bool):
+            if any_hit:
+                alive = alive & (prim_best < 0)
+        else:
+            alive = alive & ~(s[8] & (prim_best >= 0))
         return alive
 
     def step(consts, s, freeze_overflow=False, rows_tab=None, motion=True):
         (ox, oy, oz, dx, dy, dz, ix, iy, iz, tmin_, tw_) = consts
         tab = rows if rows_tab is None else rows_tab
-        cur, stack, n_stack, t_best, prim_best, b1b, b2b, alive = s
+        cur, stack, n_stack, t_best, prim_best, b1b, b2b, alive = s[:8]
+        extra = s[8:]  # (any-hit mask,) when per-lane, else ()
         Ws = stack.shape[0]
         act = active_of(s)
         if freeze_overflow:
@@ -931,7 +938,8 @@ def _traverse_wide_batch(g: SceneGeometry, o, d, tmin, tmax, any_hit: bool,
         stack = jnp.where(pop, stack_pop, stack)
         alive = alive & ~(pop & (n_stack == 0))
         n_stack = jnp.maximum(n_stack - pop.astype(jnp.int32), 0)
-        return (cur, stack, n_stack, t_best, prim_best, b1b, b2b, alive)
+        return (cur, stack, n_stack, t_best, prim_best, b1b, b2b,
+                alive) + extra
 
     if rows is not None and g.num_triangles > 0:
         # ---- phase 1: full-width while, until few lanes remain ----------
@@ -954,16 +962,15 @@ def _traverse_wide_batch(g: SceneGeometry, o, d, tmin, tmax, any_hit: bool,
             lambda s: step(consts0, s, freeze_overflow=W1 < W),
             init,
         )
-        if W1 < W:
-            # widen to the exact bound for the straggler phase
-            state = (
-                state[0],
-                jnp.concatenate(
-                    [state[1], jnp.zeros((W - W1, R), jnp.int32)], axis=0
-                ),
-            ) + state[2:]
 
         # ---- phase 2: straggler compaction loop -------------------------
+        # The outer carry keeps the NARROW warm stack: only the C-lane
+        # sub-batch is widened to the exact bound W. Lanes return from the
+        # sub-loop FINISHED (the inner while runs them to completion), so
+        # only the scalar results + alive scatter back — the (W, R) stack
+        # gather/scatter-back that dominated the r4 profile (4.7 ms per
+        # 32k-lane traversal in the op trace, ~2× the warm loop itself) is
+        # dead weight and is gone.
         C = min(WIDE_COMPACT, R)
 
         def outer_cond(s):
@@ -974,9 +981,25 @@ def _traverse_wide_batch(g: SceneGeometry, o, d, tmin, tmax, any_hit: bool,
             # padding uses the OUT-OF-BOUNDS index R: gathers clamp
             # (harmless duplicate compute of lane R-1, whose scattered
             # write is then shadowed only by itself), scatters DROP — so
-            # no duplicate-index write races with a genuine lane update
-            (sel,) = jnp.nonzero(act, size=C, fill_value=R)
+            # no duplicate-index write races with a genuine lane update.
+            # Stream compaction via cumsum+scatter — jnp.nonzero lowers to
+            # a 32k sort on TPU (~1.5 ms per call in the op trace); the
+            # scan+scatter form is ~10× cheaper.
+            pos = jnp.cumsum(act.astype(jnp.int32)) - 1
+            valid = act & (pos < C)
+            sel = jnp.full((C,), R, jnp.int32).at[
+                jnp.where(valid, pos, C)
+            ].set(jnp.arange(R, dtype=jnp.int32), mode="drop")
             sub = tuple(a[:, sel] if a.ndim == 2 else a[sel] for a in s)
+            if W > W1:
+                # widen the SUB stack to the exact worst-case bound so the
+                # resumed traversal cannot overflow
+                sub = (
+                    sub[0],
+                    jnp.concatenate(
+                        [sub[1], jnp.zeros((W - W1, C), jnp.int32)], axis=0
+                    ),
+                ) + sub[2:]
             subc = tuple(c[sel] for c in consts0)
 
             def sub_cond(ss):
@@ -985,8 +1008,10 @@ def _traverse_wide_batch(g: SceneGeometry, o, d, tmin, tmax, any_hit: bool,
             sub = jax.lax.while_loop(
                 sub_cond, lambda ss: step(subc, ss), sub
             )
+            # finished lanes: stacks are dead state — scatter back only
+            # the 1-D results (t/prim/b1/b2/cur/n_stack/alive)
             return tuple(
-                a.at[:, sel].set(b) if a.ndim == 2 else a.at[sel].set(b)
+                a if a.ndim == 2 else a.at[sel].set(b)
                 for a, b in zip(s, sub)
             )
 
@@ -1019,8 +1044,11 @@ def _traverse_wide_batch(g: SceneGeometry, o, d, tmin, tmax, any_hit: bool,
         tn = jnp.max(jnp.minimum(t0, t1), axis=1)
         tf = jnp.min(jnp.maximum(t0, t1), axis=1)
         pre = jnp.maximum(tn, tmin_f) <= jnp.minimum(tf, t_b)
-        if any_hit:
-            pre = pre & (p_b < 0)
+        if isinstance(any_hit, bool):
+            if any_hit:
+                pre = pre & (p_b < 0)
+        else:
+            pre = pre & ~(any_hit & (p_b >= 0))
         consts_i = (
             o2[:, 0], o2[:, 1], o2[:, 2], d2[:, 0], d2[:, 1], d2[:, 2],
             inv2[:, 0], inv2[:, 1], inv2[:, 2], tmin_f,
@@ -1031,7 +1059,7 @@ def _traverse_wide_batch(g: SceneGeometry, o, d, tmin, tmax, any_hit: bool,
             jnp.zeros((W2, R), jnp.int32),
             jnp.zeros((R,), jnp.int32),
             t_b, p_b, b1_, b2_, pre,
-        )
+        ) + (() if isinstance(any_hit, bool) else (any_hit,))
         sub = jax.lax.while_loop(
             lambda ss: jnp.any(active_of(ss)),
             lambda ss: step(
@@ -1248,11 +1276,29 @@ def _traverse_grid_one(g: SceneGeometry, o, d, tmin, tmax, any_hit: bool,
     return out[2], out[3], out[4], out[5]
 
 
-@functools.partial(jax.jit, static_argnames=("any_hit",))
-def intersect(g: SceneGeometry, ray: geom.Ray, any_hit: bool = False) -> Hit:
+def intersect(g: SceneGeometry, ray: geom.Ray, any_hit=False) -> Hit:
     """Batched closest-hit (or any-hit) intersection.
 
-    ray fields are (R, …); returns Hit with (R,) fields. Equivalent of
+    ``any_hit`` may be a static bool or a per-lane (R,) bool mask (the
+    merged shadow+closest batch; wide-BVH path only).
+    """
+    if isinstance(any_hit, bool):
+        return _intersect_static(g, ray, any_hit=any_hit)
+    return _intersect_masked(g, ray, any_hit)
+
+
+@functools.partial(jax.jit, static_argnames=("any_hit",))
+def _intersect_static(g, ray, any_hit=False):
+    return _intersect_impl(g, ray, any_hit)
+
+
+@jax.jit
+def _intersect_masked(g, ray, any_mask):
+    return _intersect_impl(g, ray, any_mask)
+
+
+def _intersect_impl(g: SceneGeometry, ray: geom.Ray, any_hit) -> Hit:
+    """ray fields are (R, …); returns Hit with (R,) fields. Equivalent of
     Scene::Intersect / Scene::IntersectP (reference: core/scene.h:42-53).
     """
     if g.num_triangles + g.num_quadrics == 0:

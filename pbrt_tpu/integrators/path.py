@@ -26,7 +26,7 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 
-from pbrt_tpu.accel.intersect import SceneGeometry, intersect
+from pbrt_tpu.accel.intersect import Hit, SceneGeometry, intersect
 from pbrt_tpu.bsdf import bxdf
 from pbrt_tpu.core import geometry as geom
 from pbrt_tpu.core import rng as rngmod
@@ -94,6 +94,38 @@ class KeySource:
         return rngmod.uniform_per(k, n)
 
 
+class BatchedKeySource:
+    """All bounce uniforms of the path loop derived in ONE threefry pass.
+
+    The on-the-fly KeySource derives a fresh key (fold_in) + uniforms per
+    (bounce, purpose) — ~4 derivation pairs per bounce, each a separate
+    32k-lane threefry dispatch inside the loop. Batching them into a
+    single (R, D, 8) tensor up front removes ~20 derivations per wave;
+    streams stay per-path/per-bounce/per-purpose via the fixed column
+    layout: [light_sel, light_u1, light_u2, bsdf_lobe, bsdf_u1, bsdf_u2,
+    rr, spare]."""
+
+    _COLS = {
+        rngmod.LIGHT_SELECT: 0,
+        rngmod.LIGHT_SAMPLE: 1,
+        rngmod.BSDF_SAMPLE: 3,
+        rngmod.ROULETTE: 6,
+    }
+
+    def __init__(self, keys, max_depth: int):
+        ku = rngmod.bounce_key(keys, 0, 15)  # one reserved purpose tag
+        D = max(max_depth, 1)
+        self.u = rngmod.uniform_per(ku, D * 8).reshape(
+            keys.shape + (D, 8)
+        )
+
+    def get(self, bounce, purpose, n):
+        b = jnp.clip(bounce, 0, self.u.shape[-2] - 1)
+        col = self._COLS[purpose]
+        blk = jax.lax.dynamic_index_in_dim(self.u, b, axis=-2, keepdims=False)
+        return jax.lax.slice_in_dim(blk, col, col + n, axis=-1)
+
+
 class PrimarySource:
     """Uniforms read from an explicit primary-sample vector (R, D) — the
     Kelemen-style primary sample space used by the Metropolis renderer
@@ -146,14 +178,24 @@ def _shadow_unoccluded(g: SceneGeometry, p, ng, wi, dist, eps):
 
 
 def _nee_one_light(scene: RenderScene, si, lm, wo_local, frame, source, keys,
-                   bounce, active):
+                   bounce, active, defer_shadow: bool = False):
     """One-light NEE with MIS (reference: UniformSampleOneLight +
     EstimateDirect, core/integrator.cpp:74-180). Returns (R, S) estimate
-    already multiplied by the light-count factor."""
+    already multiplied by the light-count factor.
+
+    ``defer_shadow``: skip the visibility trace and return instead
+    (candidate_contrib (R, S), shadow_o, shadow_d, shadow_tmax, candidate)
+    — the caller folds the shadow ray into the NEXT bounce's batched
+    traversal (one merged closest+any-hit pass per bounce)."""
     lt = scene.lights
     n_lights = lt.count
     if n_lights == 0:
-        return jnp.zeros(si.p.shape[:-1] + (scene.materials.kd.shape[-1],))
+        z = jnp.zeros(si.p.shape[:-1] + (scene.materials.kd.shape[-1],))
+        if defer_shadow:
+            R0 = si.p.shape[0]
+            return (z, si.p, si.ns, jnp.zeros((R0,)),
+                    jnp.zeros((R0,), bool))
+        return z
     ss, ts, ns = frame
     u_sel = source.get(bounce, rngmod.LIGHT_SELECT, 1)[..., 0]
     u = source.get(bounce, rngmod.LIGHT_SAMPLE, 2)
@@ -173,10 +215,6 @@ def _nee_one_light(scene: RenderScene, si, lm, wo_local, frame, source, keys,
         & jnp.any(f > 0.0, axis=-1)
         & jnp.any(ls.L > 0.0, axis=-1)
     )
-    visible = _shadow_unoccluded(
-        scene.geometry, si.p, si.ng, ls.wi, ls.dist, si.ray_epsilon
-    )
-    ok = candidate & visible
     # MIS weight (delta lights → 1)
     pdf_b = mat_mod.bsdf_pdf(lm, wo_local, wi_local)
     w_mis = jnp.where(
@@ -196,6 +234,24 @@ def _nee_one_light(scene: RenderScene, si, lm, wo_local, frame, source, keys,
             scene.volumes, si.p, ls.wi, jnp.zeros_like(t1), t1, u_t
         )
         contrib = contrib * tr
+    if defer_shadow:
+        o_sh = offset_ray_origin(si.p, si.ng, ls.wi, si.ray_epsilon)
+        tmax_sh = jnp.maximum(
+            jnp.where(
+                jnp.isfinite(ls.dist),
+                ls.dist * (1.0 - 1e-3) - si.ray_epsilon,
+                jnp.float32(1e30),
+            ),
+            0.0,
+        )
+        return (
+            jnp.where(candidate[..., None], contrib * n_lights, 0.0),
+            o_sh, ls.wi, tmax_sh, candidate,
+        )
+    visible = _shadow_unoccluded(
+        scene.geometry, si.p, si.ng, ls.wi, ls.dist, si.ray_epsilon
+    )
+    ok = candidate & visible
     return jnp.where(ok[..., None], contrib * n_lights, 0.0)
 
 
@@ -350,7 +406,26 @@ def trace_radiance(scene: RenderScene, rays: geom.Ray, keys,
     S = scene.materials.kd.shape[-1]
     R = rays.origin.shape[0]
     n_lights = max(scene.lights.count, 1)
-    source = KeySource(keys) if uniforms is None else PrimarySource(uniforms)
+    source = (
+        BatchedKeySource(keys, cfg.max_depth)
+        if uniforms is None
+        else PrimarySource(uniforms)
+    )
+    # merged shadow+closest traversal: the NEE shadow ray of bounce b rides
+    # the closest-hit batch of bounce b+1 as the any-hit half of one 2R-lane
+    # traversal. MEASURED SLOWER on the killeroo bench (601k vs 689k
+    # paths/s): per-iteration cost scales with lanes on this chip (the
+    # 32k-lane loop is already throughput-bound, not fixed-cost-bound), so
+    # doubling the batch width buys nothing and the mixed skew costs extra
+    # compaction rounds. Kept behind an env flag for wider-chip tuning.
+    import os as _os
+
+    merged_shadow = (
+        _os.environ.get("PBRT_TPU_MERGE_SHADOW", "0") == "1"
+        and scene.geometry.accel_kind == "bvh"
+        and scene.geometry.wide_rows is not None
+        and scene.lights.count > 0
+    )
 
     def accumulate_hit(carry_L, ray, hit, si, throughput, alive, specular_bounce,
                        prev_bsdf_pdf):
@@ -408,12 +483,49 @@ def trace_radiance(scene: RenderScene, rays: geom.Ray, keys,
             )
         return L
 
+    def _merged_intersect(ray, pend):
+        """One 2R-lane traversal: [closest rays ; pending shadow rays]."""
+        pend_o, pend_d, pend_tmax, pend_L, pend_ok = pend
+        big = geom.Ray(
+            origin=jnp.concatenate([ray.origin, pend_o]),
+            direction=jnp.concatenate([ray.direction, pend_d]),
+            tmin=jnp.concatenate([ray.tmin, jnp.zeros((R,), jnp.float32)]),
+            tmax=jnp.concatenate([ray.tmax, pend_tmax]),
+            time=jnp.concatenate([ray.time, ray.time]),
+            wavelength=jnp.concatenate([ray.wavelength, ray.wavelength]),
+        )
+        any_mask = jnp.concatenate(
+            [jnp.zeros((R,), bool), jnp.ones((R,), bool)]
+        )
+        hit2 = intersect(scene.geometry, big, any_hit=any_mask)
+        hit = Hit(
+            t=hit2.t[:R], prim=hit2.prim[:R], b1=hit2.b1[:R],
+            b2=hit2.b2[:R],
+            inst=None if hit2.inst is None else hit2.inst[:R],
+        )
+        occluded = hit2.prim[R:] >= 0
+        dL = jnp.where((pend_ok & ~occluded)[..., None], pend_L, 0.0)
+        return hit, dL
+
+    def _empty_pend():
+        return (
+            jnp.full((R, 3), 1e8, jnp.float32),
+            jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), (R, 3)),
+            jnp.zeros((R,), jnp.float32),
+            jnp.zeros((R, S), jnp.float32),
+            jnp.zeros((R,), bool),
+        )
+
     def bounce_body(bounce, carry):
         """One full bounce: intersect → accumulate → NEE → BSDF → RR → spawn.
         ``bounce`` is traced, so the loop compiles once."""
         (ray, L, throughput, alive, specular_bounce, prev_bsdf_pdf,
-         first_hit_t, gather_only) = carry
-        hit = intersect(scene.geometry, ray)
+         first_hit_t, gather_only, pend) = carry
+        if merged_shadow:
+            hit, dL = _merged_intersect(ray, pend)
+            L = L + dL
+        else:
+            hit = intersect(scene.geometry, ray)
         si = surface_interaction(scene.geometry, ray, hit,
                                  spread=_spread_of(scene), diffs=diffs)
         if diffs is not None:
@@ -452,9 +564,24 @@ def trace_radiance(scene: RenderScene, rays: geom.Ray, keys,
         # --- next-event estimation ---------------------------------------
         delta_only = mat_mod.has_delta_only(lm)
         nee_active = alive & (~delta_only)
-        L = L + throughput * _nee_one_light(
-            scene, si, lm, wo_local, frame, source, keys, bounce, nee_active
-        )
+        if merged_shadow:
+            neeL, po, pd, ptm, pok = _nee_one_light(
+                scene, si, lm, wo_local, frame, source, keys, bounce,
+                nee_active, defer_shadow=True,
+            )
+            # park dead shadow lanes far outside the scene (instant miss)
+            pend = (
+                jnp.where(pok[..., None], po, 1e8),
+                pd,
+                jnp.where(pok, ptm, 0.0),
+                throughput * neeL,
+                pok,
+            )
+        else:
+            L = L + throughput * _nee_one_light(
+                scene, si, lm, wo_local, frame, source, keys, bounce,
+                nee_active,
+            )
 
         # --- photon mapping: caustic + indirect density estimation --------
         if cfg.kind == "photonmap" and scene.has_photons:
@@ -561,7 +688,7 @@ def trace_radiance(scene: RenderScene, rays: geom.Ray, keys,
             wavelength=ray.wavelength,
         )
         return (ray, L, throughput, alive, specular_bounce, prev_bsdf_pdf,
-                first_hit_t, gather_next)
+                first_hit_t, gather_next, pend)
 
     # lens cameras mark vignetted/dead rays with a zero direction
     # (reference: GenerateRay returning weight 0, realisticDiffraction.cpp)
@@ -575,12 +702,18 @@ def trace_radiance(scene: RenderScene, rays: geom.Ray, keys,
         jnp.ones((R,), jnp.float32),
         jnp.zeros((R,), jnp.float32),
         jnp.zeros((R,), bool),  # gather_only
+        _empty_pend(),
     )
     carry = jax.lax.fori_loop(0, cfg.max_depth, bounce_body, init)
     (ray, L, throughput, alive, specular_bounce, prev_bsdf_pdf, first_hit_t,
-     _gather) = carry
-    # final tail: one more intersect purely to collect Le on the last segment
-    hit = intersect(scene.geometry, ray)
+     _gather, pend) = carry
+    # final tail: one more intersect purely to collect Le on the last
+    # segment — and to resolve the last bounce's pending shadow batch
+    if merged_shadow:
+        hit, dL = _merged_intersect(ray, pend)
+        L = L + dL
+    else:
+        hit = intersect(scene.geometry, ray)
     si = surface_interaction(scene.geometry, ray, hit,
                              spread=_spread_of(scene))
     first_hit_t = jnp.where(

@@ -76,7 +76,13 @@ run_one() {  # $1=scene-base $2=ncores-override
 patch_scene killeroo-simple 256 256 8 -
 patch_scene metal 256 256 16 path
 patch_scene bunny 256 256 8 -
-patch_scene ss-envmap 128 128 4 -
+# ss-envmap at 64 spp: the scene is glint-dominated (bump-mapped glossy
+# floor under the rotated bright grace env); the reference's LD-sampler
+# realization at spp<=16 lands up to 2x ABOVE its own converged mean
+# (measured: spp4 0.148, spp16 0.116, spp64 0.072, spp256 0.072 image
+# mean) — the golden must be the converged image to be a correctness
+# target.
+patch_scene ss-envmap 128 128 64 -
 patch_scene anim-killeroos-moving 256 256 8 -
 
 for s in killeroo-simple metal bunny anim-killeroos-moving; do

@@ -49,6 +49,6 @@ print(f"max |ratio-1| = {err.max():.4f}  (tol 0.08; target 0.06)")
 # row profile: luminance ratio per 16-row band
 lr = ref.sum(-1).mean(1)
 lo = ours.sum(-1).mean(1)
-band = lambda a: a[: 256 // 16 * 16].reshape(16, 16).mean(1)
+band = lambda a: a[: a.shape[0] // 16 * 16].reshape(16, -1).mean(1)
 print("row-band luminance ratio (ours/ref), top->bottom:")
 print(np.array2string(band(lo) / np.maximum(band(lr), 1e-9), precision=3))
