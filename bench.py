@@ -107,6 +107,45 @@ def main():
             paths_per_sec * 320 * 24 * 6 / 1e9, 1
         ),
     }
+    # --- backward-pass cost (north-star gradient surface) ----------------
+    # one 32k-lane value_and_grad wrt material kd + emission, timed against
+    # the forward trace (BENCH_BACKWARD=0 skips; adds one compile)
+    if os.environ.get("BENCH_BACKWARD", "1") == "1":
+        from pbrt_tpu.core import rng as rngmod2
+        from pbrt_tpu.integrators import grad as grad_mod
+
+        Rb = 1 << 15
+        ii = np.arange(Rb, dtype=np.int32) % (res * res)
+        ysb, xsb = np.divmod(ii, res)
+        kb = rngmod2.pixel_sample_key(
+            rngmod2.root_key(1), jnp.asarray(ysb * res + xsb),
+            jnp.int32(0),
+        )
+        ub = rngmod2.uniform_per(kb, 5)
+        rb = built.camera.generate_rays(
+            jnp.asarray(xsb, jnp.float32) + ub[:, 0],
+            jnp.asarray(ysb, jnp.float32) + ub[:, 1],
+            ub[:, 2], ub[:, 3], ub[:, 4],
+        )
+        fwd = jax.jit(lambda s, r, k: grad_mod.radiance_loss(
+            s, r, k, built.integrator))
+        bwd = jax.jit(lambda s, r, k: grad_mod.value_and_grads(
+            s, r, k, built.integrator))
+        for f, name in ((fwd, "fwd"), (bwd, "bwd")):
+            out = f(built.scene, rb, kb)
+            jax.block_until_ready(out)
+            np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[:1]
+            t0 = time.perf_counter()
+            out = f(built.scene, rb, kb)
+            jax.block_until_ready(out)
+            np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[:1]
+            stats[f"{name}_ms_32k"] = round(
+                (time.perf_counter() - t0) * 1e3, 2
+            )
+        if stats.get("fwd_ms_32k"):
+            stats["bwd_over_fwd"] = round(
+                stats["bwd_ms_32k"] / stats["fwd_ms_32k"], 2
+            )
     print("ROOFLINE " + json.dumps(stats), file=sys.stderr)
     print(
         json.dumps(

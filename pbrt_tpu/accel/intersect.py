@@ -738,6 +738,43 @@ WIDE_COMPACT = int(_os.environ.get("PBRT_TPU_WIDE_COMPACT", "2048"))
 #: register, so a narrow warm stack is ~W/Ws cheaper per iteration; lanes
 #: that would overflow freeze and finish in the full-width straggler phase
 WIDE_WARM_STACK = int(_os.environ.get("PBRT_TPU_WIDE_WARM_STACK", "24"))
+#: opt-in Pallas kernel for the traversal step's interpret phase
+#: (accel/pallas_step.py) — measured slower than the XLA fusion on v5e,
+#: kept as a tuning hook (see PERF.md r5)
+_PALLAS_STEP = _os.environ.get("PBRT_TPU_PALLAS_STEP", "0") == "1"
+
+
+def _step_control(act, is_node, n_hit, refs_l, cur, stack, n_stack,
+                  t_best, prim_best, b1b, b2b, alive, extra):
+    """Shared traversal control tail: descend to the nearest child, push
+    the remaining sorted candidates, pop on dead ends."""
+    Ws = stack.shape[0]
+    descend = is_node & (n_hit > 0)
+    pc = jnp.where(descend, n_hit - 1, 0)  # (R,) children to push
+    cands = refs_l[1:8]                    # 7 sorted candidates
+    stack_new = stack
+    for k in range(1, 8):
+        variant = jnp.concatenate(
+            [jnp.stack(cands[:k]), stack[: Ws - k]], axis=0
+        )
+        stack_new = jnp.where(pc == k, variant, stack_new)
+    stack = stack_new
+    n_stack = jnp.minimum(n_stack + pc, Ws)
+
+    pop = act & ~descend
+    # inactive/frozen lanes must keep their pending node: overwriting
+    # cur with stack[0] without popping would drop it
+    cur = jnp.where(
+        act, jnp.where(descend, refs_l[0], stack[0]), cur
+    )
+    stack_pop = jnp.concatenate(
+        [stack[1:], jnp.zeros((1, cur.shape[0]), jnp.int32)], axis=0
+    )
+    stack = jnp.where(pop, stack_pop, stack)
+    alive = alive & ~(pop & (n_stack == 0))
+    n_stack = jnp.maximum(n_stack - pop.astype(jnp.int32), 0)
+    return (cur, stack, n_stack, t_best, prim_best, b1b, b2b,
+            alive) + extra
 
 
 def _traverse_wide_batch(g: SceneGeometry, o, d, tmin, tmax, any_hit: bool,
@@ -835,6 +872,28 @@ def _traverse_wide_batch(g: SceneGeometry, o, d, tmin, tmax, any_hit: bool,
         row = tab[row_idx]                   # (C, 80) — THE gather
         if motion and g.has_motion and tw is not None:
             row = row + tw_[:, None] * g.wide_motion[row_idx]
+        if _PALLAS_STEP and cur.shape[0] % 256 == 0:
+            # hand-written Pallas kernel for the interpret phase (slab +
+            # MT + sort fused in VMEM). Validated bit-exact vs the XLA
+            # fusion below; measured ~2× SLOWER on v5e (PERF.md r5), so
+            # off by default — kept as the tuning hook for future parts.
+            from pbrt_tpu.accel.pallas_step import step_interpret
+
+            refs_s, n_hit, tsel, psel, b1s, b2s = step_interpret(
+                row, jnp.stack([ox, oy, oz], -1),
+                jnp.stack([dx, dy, dz], -1),
+                jnp.stack([ix, iy, iz], -1), tmin_, t_best, is_node, act,
+            )
+            refs_l = [refs_s[k] for k in range(8)]
+            any_ok = tsel < t_best
+            t_best = jnp.where(any_ok, tsel, t_best)
+            prim_best = jnp.where(any_ok, psel, prim_best)
+            b1b = jnp.where(any_ok, b1s, b1b)
+            b2b = jnp.where(any_ok, b2s, b2b)
+            return _step_control(
+                act, is_node, n_hit, refs_l, cur, stack, n_stack,
+                t_best, prim_best, b1b, b2b, alive, extra,
+            )
         rt = row.T                           # (80, C) slot-major relayout
 
         # ---- node interpretation: slab-test 8 children, (8, R) wide ----
@@ -914,32 +973,10 @@ def _traverse_wide_batch(g: SceneGeometry, o, d, tmin, tmax, any_hit: bool,
         b2b = jnp.where(any_ok, jnp.sum(jnp.where(sel, b2, 0.0), axis=0), b2b)
 
         # ---- control: descend to nearest child, push the rest ----
-        descend = is_node & (n_hit > 0)
-        pc = jnp.where(descend, n_hit - 1, 0)  # (R,) children to push
-        cands = refs_l[1:8]                    # 7 sorted candidates
-        stack_new = stack
-        for k in range(1, 8):
-            variant = jnp.concatenate(
-                [jnp.stack(cands[:k]), stack[: Ws - k]], axis=0
-            )
-            stack_new = jnp.where(pc == k, variant, stack_new)
-        stack = stack_new
-        n_stack = jnp.minimum(n_stack + pc, Ws)
-
-        pop = act & ~descend
-        # inactive/frozen lanes must keep their pending node: overwriting
-        # cur with stack[0] without popping would drop it
-        cur = jnp.where(
-            act, jnp.where(descend, refs_l[0], stack[0]), cur
+        return _step_control(
+            act, is_node, n_hit, refs_l, cur, stack, n_stack,
+            t_best, prim_best, b1b, b2b, alive, extra,
         )
-        stack_pop = jnp.concatenate(
-            [stack[1:], jnp.zeros((1, cur.shape[0]), jnp.int32)], axis=0
-        )
-        stack = jnp.where(pop, stack_pop, stack)
-        alive = alive & ~(pop & (n_stack == 0))
-        n_stack = jnp.maximum(n_stack - pop.astype(jnp.int32), 0)
-        return (cur, stack, n_stack, t_best, prim_best, b1b, b2b,
-                alive) + extra
 
     if rows is not None and g.num_triangles > 0:
         # ---- phase 1: full-width while, until few lanes remain ----------
@@ -1300,7 +1337,13 @@ def _intersect_masked(g, ray, any_mask):
 def _intersect_impl(g: SceneGeometry, ray: geom.Ray, any_hit) -> Hit:
     """ray fields are (R, …); returns Hit with (R,) fields. Equivalent of
     Scene::Intersect / Scene::IntersectP (reference: core/scene.h:42-53).
+
+    Traversal is DETACHED from differentiation (integrators/grad.py's
+    detached-sampling estimator): visibility is discontinuous, so gradients
+    through the hit search are zero by design — and the data-dependent
+    while_loops are not reverse-differentiable anyway.
     """
+    ray = jax.tree_util.tree_map(jax.lax.stop_gradient, ray)
     if g.num_triangles + g.num_quadrics == 0:
         R = ray.origin.shape[0]
         return Hit(

@@ -86,6 +86,23 @@ def grad_wrt_emission(scene: RenderScene, rays, keys, cfg, loss_fn=None):
     return jax.grad(f)(scene.lights.emit)
 
 
+def grad_wrt_textures(scene: RenderScene, rays, keys, cfg, loss_fn=None):
+    """∂loss/∂(texture table): image texel RGB pool + constant texture
+    spectra (the north star's "spectral-texture parameters").
+
+    Gradients flow through the full filtered-lookup chain (mip levels, EWA
+    probes, Smits RGB→spectrum reconstruction) — all smooth jnp ops."""
+    tt = scene.textures
+
+    def f(pool_rgb, c1):
+        t2 = dataclasses.replace(tt, pool_rgb=pool_rgb, c1=c1)
+        s = dataclasses.replace(scene, textures=t2)
+        return radiance_loss(s, rays, keys, cfg, loss_fn)
+
+    g = jax.grad(f, argnums=(0, 1))(tt.pool_rgb, tt.c1)
+    return {"pool_rgb": g[0], "c1": g[1]}
+
+
 def value_and_grads(scene: RenderScene, rays, keys, cfg, loss_fn=None):
     """(loss, {material grads, emission grad}) in one backward pass."""
 

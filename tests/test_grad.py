@@ -124,3 +124,59 @@ def test_gradient_jittable():
 
     g = g_fn(scene.materials.kd)
     assert np.isfinite(np.asarray(g)).all()
+
+
+TEX_SCENE = """
+LookAt 0 2 0  0 0 0  0 0 1
+Camera "perspective" "float fov" [40]
+Film "image" "integer xresolution" [8] "integer yresolution" [8]
+SurfaceIntegrator "path" "integer maxdepth" [2]
+WorldBegin
+LightSource "point" "rgb I" [4 4 4] "point from" [1 1 0]
+Texture "c" "color" "constant" "rgb value" [.6 .4 .3]
+Material "matte" "texture Kd" "c"
+Shape "trianglemesh" "point P" [-10 0 -10  10 0 -10  10 0 10  -10 0 10]
+  "integer indices" [0 1 2 2 3 0]
+WorldEnd
+"""
+
+
+def test_texture_gradient_matches_finite_difference():
+    """North-star 'spectral-texture parameters': d loss / d constant-texture
+    value, FD-validated (grad_wrt_textures)."""
+    built = build(load_scene_string(TEX_SCENE))
+    n = 64
+    ys, xs = np.divmod(np.arange(n, dtype=np.int32), 8)
+    keys = rngmod.pixel_sample_key(
+        rngmod.root_key(0), jnp.asarray(ys * 8 + xs), jnp.zeros(n, jnp.int32)
+    )
+    u = rngmod.uniform_per(keys, 5)
+    rays = built.camera.generate_rays(
+        jnp.asarray(xs, jnp.float32) + u[:, 0],
+        jnp.asarray(ys, jnp.float32) + u[:, 1],
+        u[:, 2], u[:, 3], u[:, 4],
+    )
+    scene = built.scene
+    # depth 1 keeps the reverse-mode compile tractable on a 2-core box
+    # (the gradient surface under test — texture eval at the first hit —
+    # is fully exercised)
+    cfg = dataclasses.replace(built.integrator, max_depth=1)
+    g = grad_mod.grad_wrt_textures(scene, rays, keys, cfg)
+    gc1 = np.asarray(g["c1"])
+    assert np.isfinite(gc1).all()
+    assert np.abs(gc1).max() > 0, "no gradient flow to texture spectra"
+
+    # FD check on the largest-|g| texture bin
+    ti, si_ = np.unravel_index(np.abs(gc1).argmax(), gc1.shape)
+    eps = 1e-3
+
+    def loss_with(delta):
+        c1 = scene.textures.c1.at[ti, si_].add(delta)
+        t2 = dataclasses.replace(scene.textures, c1=c1)
+        s = dataclasses.replace(scene, textures=t2)
+        L, _ = trace_radiance(s, rays, keys, cfg)
+        return float(L.mean())
+
+    fd = (loss_with(eps) - loss_with(-eps)) / (2 * eps)
+    rel = abs(fd - gc1[ti, si_]) / max(abs(fd), 1e-9)
+    assert rel < 0.05, (fd, float(gc1[ti, si_]))
