@@ -246,10 +246,13 @@ def _nee_one_light(scene: RenderScene, si, lm, wo_local, frame, source, keys,
         )
         return (
             jnp.where(candidate[..., None], contrib * n_lights, 0.0),
-            o_sh, ls.wi, tmax_sh, candidate,
+            o_sh, ls.wi, jnp.where(candidate, tmax_sh, 0.0), candidate,
         )
     visible = _shadow_unoccluded(
-        scene.geometry, si.p, si.ng, ls.wi, ls.dist, si.ray_epsilon
+        scene.geometry, si.p, si.ng, ls.wi,
+        # zero-contribution lanes get dist 0 → tmax 0 → instant traversal
+        # exit; their visibility is discarded by the candidate mask anyway
+        jnp.where(candidate, ls.dist, 0.0), si.ray_epsilon
     )
     ok = candidate & visible
     return jnp.where(ok[..., None], contrib * n_lights, 0.0)
@@ -690,7 +693,10 @@ def trace_radiance(scene: RenderScene, rays: geom.Ray, keys,
             origin=jnp.where(alive[..., None], o_new, ray.origin),
             direction=jnp.where(alive[..., None], wi_world, ray.direction),
             tmin=jnp.zeros_like(ray.tmin),
-            tmax=jnp.full_like(ray.tmax, jnp.inf),
+            # dead lanes get tmax=0 so the traversal pops them at the root
+            # and straggler compaction frees the lane immediately (their
+            # results are discarded either way)
+            tmax=jnp.where(alive, jnp.inf, 0.0),
             time=ray.time,
             wavelength=ray.wavelength,
         )
